@@ -1,0 +1,31 @@
+"""Test configuration: run everything on CPU with 8 virtual devices so the
+multi-chip sharding paths (mesh, shard_map, ppermute halo exchange) execute
+without TPU hardware, per the reference test strategy gap analysis
+(SURVEY.md section 4: distributed tests runnable on CPU via
+xla_force_host_platform_device_count)."""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def random_triplet(rng, la, lb, lc, nsym=4):
+    return (
+        rng.integers(0, nsym, size=la).astype(np.uint8),
+        rng.integers(0, nsym, size=lb).astype(np.uint8),
+        rng.integers(0, nsym, size=lc).astype(np.uint8),
+    )
