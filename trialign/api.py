@@ -1,0 +1,148 @@
+"""Public API: align() / align_batch().
+
+This is the host-side entry the reference exposed as the start_align /
+Score / finish port handshake plus the (never-committed) RIFFA PCIe driver
+(reference: src/TriAlign_1cyc.v:9-22, src/TriAlign_tb.sv:313-353).  Here the
+host<->accelerator boundary is Python <-> a compiled XLA program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from trialign.config import Scoring, encode
+
+
+@dataclasses.dataclass
+class AlignResult:
+    """Result of one three-sequence alignment."""
+
+    score: int
+    alignment: Optional[List[List[int]]] = None  # 3 rows of codes, -1 = gap
+    backend: str = ""
+    cells: int = 0  # DP cell-updates performed (|A|*|B|*|C|)
+    seconds: float = 0.0
+
+    @property
+    def gcups(self) -> float:
+        """Giga cell-updates per second (1 cell = all 7 matrices),
+        the reference's headline metric (pic/Result.png)."""
+        return self.cells / self.seconds / 1e9 if self.seconds > 0 else 0.0
+
+
+def _prep(seq) -> np.ndarray:
+    if isinstance(seq, str):
+        return encode(seq)
+    return np.asarray(seq, dtype=np.uint8)
+
+
+def _pick_backend(la: int, lb: int, lc: int) -> str:
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    small = lb <= 255 and lc <= 255
+    if small:
+        return "pallas" if on_tpu else "pallas_interpret" if max(lb, lc) <= 64 else "xla"
+    return "blocked"
+
+
+def align(
+    a,
+    b,
+    c,
+    scoring: Scoring = Scoring(),
+    backend: str = "auto",
+    return_alignment: bool = False,
+) -> AlignResult:
+    """Optimal alignment of three sequences.
+
+    ``backend``: "auto", "golden" (NumPy), "xla", "pallas" (single-block
+    TPU kernel), "blocked" (HBM-tiled sliced sweep for long sequences).
+    """
+    import time
+
+    a, b, c = _prep(a), _prep(b), _prep(c)
+    la, lb, lc = len(a), len(b), len(c)
+    cells = la * lb * lc
+
+    if return_alignment:
+        # Alignment recovery: golden cuboid traceback for small problems,
+        # Hirschberg divide-and-conquer for large (see trialign.traceback).
+        from trialign.traceback import hirschberg_align
+
+        t0 = time.perf_counter()
+        score, alignment = hirschberg_align(a, b, c, scoring)
+        return AlignResult(
+            score=score,
+            alignment=alignment,
+            backend="hirschberg",
+            cells=cells,
+            seconds=time.perf_counter() - t0,
+        )
+
+    if backend == "auto":
+        backend = _pick_backend(la, lb, lc)
+
+    t0 = time.perf_counter()
+    if backend == "golden":
+        from trialign.golden import align_planes_numpy
+
+        score = align_planes_numpy(a, b, c, scoring)
+    elif backend == "xla":
+        from trialign.kernels.xla_ref import align_xla
+
+        score = align_xla(a, b, c, scoring)
+    elif backend in ("pallas", "pallas_interpret"):
+        from trialign.kernels.wavefront import align_wavefront
+
+        score = align_wavefront(
+            a, b, c, scoring, interpret=(backend == "pallas_interpret")
+        )
+    elif backend == "blocked":
+        from trialign.kernels.blocked import align_blocked
+
+        score = align_blocked(a, b, c, scoring)
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    return AlignResult(
+        score=int(score),
+        backend=backend,
+        cells=cells,
+        seconds=time.perf_counter() - t0,
+    )
+
+
+def align_batch(
+    triplets: Sequence,
+    scoring: Scoring = Scoring(),
+    backend: str = "auto",
+) -> List[AlignResult]:
+    """Align a batch of independent (a, b, c) triplets.
+
+    For throughput workloads (MSA pre-alignment), prefer
+    :func:`trialign.dist.batch.align_batch_sharded`, which buckets by length,
+    pads, and runs data-parallel across every chip of a mesh.
+    """
+    import time
+
+    from trialign.dist.batch import align_batch_padded
+
+    t0 = time.perf_counter()
+    arrs = [(_prep(a), _prep(b), _prep(c)) for a, b, c in triplets]
+    scores = align_batch_padded(arrs, scoring)
+    dt = time.perf_counter() - t0
+    out = []
+    for (a, b, c), s in zip(arrs, scores):
+        out.append(
+            AlignResult(
+                score=int(s),
+                backend="batch",
+                cells=len(a) * len(b) * len(c),
+                seconds=dt / max(len(arrs), 1),
+            )
+        )
+    return out

@@ -1,0 +1,90 @@
+"""Shared plane-update math for the wavefront sweep.
+
+Every compute backend (XLA reference, Pallas single-block kernel, Pallas
+blocked kernel) performs the same per-plane update: for each of the 7 DP
+matrices, a max over the 7 source matrices at one shifted position of an
+earlier plane, plus a substitution bonus.  This module holds the
+backend-agnostic pieces:
+
+* :func:`transition_groups` -- folds the 7x7 weight matrix into per-target
+  groups of sources sharing a weight, cutting the op count from
+  49 adds + 42 maxes (the reference PE's datapath, src/PE_1cyc.v:163-218 and
+  its MAX7 trees at :139-145) to ~31 adds/maxes-in-group + ~21 combine ops,
+  exploiting that each target has at most 3 distinct gap charges.
+
+* :func:`target_update` -- applies one target's grouped max-plus update to a
+  stacked (7, ...) predecessor array.  Works on NumPy and jax.numpy alike.
+
+Plane coordinate convention (all backends): plane q is a (|B|+1, |C|+1)
+array over (j, k); position (j, k) holds cell (i = q-j-k, j, k).  The
+predecessor of matrix t lives in plane q - sum(offset(t)) at position
+(j - dj, k - dk).  This is the same skew the PE array realizes with its
+diagonal delay registers (reference: src/PE_1cyc.v:80-109).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from trialign.config import NUM_MATRICES, OFFSETS, Scoring
+
+# For target t: which earlier plane (1, 2 or 3 steps back) and which (dj, dk)
+# shift its predecessor stack needs.  plane_delta = di + dj + dk.
+PLANE_DELTA: Tuple[int, ...] = tuple(sum(o) for o in OFFSETS)
+SHIFTS: Tuple[Tuple[int, int], ...] = tuple((o[1], o[2]) for o in OFFSETS)
+
+# Substitution selector per target: which pair/triple bonus it receives.
+# 0 -> S3, 1 -> none, 2 -> S(a,b), 3 -> S(b,c), 4 -> S(a,c)
+SUB_KIND: Tuple[int, ...] = (0, 1, 1, 1, 2, 3, 4)
+
+
+def transition_groups(
+    w: np.ndarray,
+) -> List[List[Tuple[int, Tuple[int, ...]]]]:
+    """Group each target's sources by shared transition weight.
+
+    Returns groups[t] = [(weight, (source indices...)), ...] sorted by
+    weight descending so the cheapest (most likely maximal) group comes
+    first.
+    """
+    groups: List[List[Tuple[int, Tuple[int, ...]]]] = []
+    for t in range(NUM_MATRICES):
+        by_weight = {}
+        for s in range(NUM_MATRICES):
+            by_weight.setdefault(int(w[t, s]), []).append(s)
+        groups.append(
+            [(wt, tuple(srcs)) for wt, srcs in sorted(by_weight.items(), reverse=True)]
+        )
+    return groups
+
+
+def target_update(pred_stack, groups_t, maximum):
+    """Grouped max-plus update for one target.
+
+    ``pred_stack`` is a (7, ...) array of the target's shifted predecessors;
+    ``groups_t`` the target's weight groups; ``maximum`` the elementwise max
+    (np.maximum or jnp.maximum).  Returns max_s(pred_stack[s] + W[t, s]).
+    """
+    acc = None
+    for weight, idxs in groups_t:
+        g = pred_stack[idxs[0]]
+        for s in idxs[1:]:
+            g = maximum(g, pred_stack[s])
+        term = g + weight
+        acc = term if acc is None else maximum(acc, term)
+    return acc
+
+
+def op_count(scoring: Scoring = Scoring()) -> int:
+    """Vector ops per cell of the grouped update (for cost models)."""
+    groups = transition_groups(scoring.weight_matrix())
+    ops = 0
+    for t in range(NUM_MATRICES):
+        for _, idxs in groups[t]:
+            ops += len(idxs) - 1  # in-group maxes
+            ops += 1  # + weight
+        ops += len(groups[t]) - 1  # cross-group maxes
+        ops += 1  # + substitution
+    return ops

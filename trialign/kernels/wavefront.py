@@ -1,0 +1,254 @@
+"""Pallas TPU wavefront kernel: full DP cuboid with planes resident in VMEM.
+
+This is the TPU-native re-design of the reference's PE array + control FSM
+(reference: src/TriAlign_1cyc.v:116-125, 276-347): instead of an 8x8 grid of
+PEs sweeping one anti-diagonal plane per clock, a single kernel sweeps planes
+q = i+j+k of the cuboid with the whole (|B|+1, |C|+1) plane as a VPU-resident
+vector, carrying the three predecessor planes as loop values (the software
+analogue of the PE's diagonal delay registers, src/PE_1cyc.v:80-109).
+
+Capacity: |B|, |C| <= 255 (plane <= 256x256 int32 x 7 matrices x 4 planes
+fits VMEM); |A| is bounded only by the skewed symbol buffer (~thousands).
+Longer sequences go to the blocked kernel (trialign.kernels.blocked), the
+analogue of the reference's memory-efficient slicing method.
+
+The per-plane update is shared math (trialign.kernels.plane_math); symbols
+arrive via a host-precomputed skewed array ASKEW[q, k] = A[q-k], the
+equivalent of the testbench's per-cycle symbol service mux
+(reference: src/TriAlign_tb.sv:150-169).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trialign.config import NUM_MATRICES, PAD_SYMBOL, Scoring
+from trialign.kernels.plane_math import (
+    PLANE_DELTA,
+    SHIFTS,
+    target_update,
+    transition_groups,
+)
+
+# Sublane / lane granularity for int32 planes.
+SUBLANE = 8
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def bucket_dims(la: int, lb: int, lc: int) -> Tuple[int, int, int]:
+    """Pad dims to compile-friendly buckets: HB (j) to multiples of 8,
+    WC (k) to multiples of 128, A-length to multiples of 64."""
+    hb = _round_up(max(lb + 1, SUBLANE), SUBLANE)
+    # Coarser HB buckets to limit recompiles.
+    for cand in (8, 16, 32, 64, 96, 128, 192, 256):
+        if hb <= cand:
+            hb = cand
+            break
+    wc = _round_up(max(lc + 1, LANE), LANE)
+    lab = _round_up(max(la, 64), 64)
+    if hb > 256 or wc > 256:
+        raise ValueError(
+            f"wavefront kernel supports |B|,|C| <= 255; got lb={lb}, lc={lc}. "
+            "Use the blocked backend."
+        )
+    return lab, hb, wc
+
+
+def _roll(x, shift, axis):
+    # pltpu.roll wants the lane/sublane axes; jnp.roll lowers fine in
+    # interpret mode and Mosaic handles it on TPU.
+    return jnp.roll(x, shift, axis=axis)
+
+
+def _make_kernel(lab: int, hb: int, wc: int, scoring: Scoring):
+    w = scoring.weight_matrix()
+    groups = transition_groups(w)
+    match = np.int32(scoring.match)
+    mismatch = np.int32(scoring.mismatch)
+    sop = scoring.s3_mode == "sop"
+    qq = lab + hb + wc  # max sweep length for this bucket
+
+    def kernel(lens_ref, askew_ref, bp_ref, cp_ref, zeros_ref, out_ref):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        la = lens_ref[0]
+        lb = lens_ref[1]
+        lc = lens_ref[2]
+        qmax = la + lb + lc
+
+        j_grid = jax.lax.broadcasted_iota(jnp.int32, (hb, wc), 0)
+        k_grid = jax.lax.broadcasted_iota(jnp.int32, (hb, wc), 1)
+        jk = j_grid + k_grid
+        edge = (j_grid >= 1) & (k_grid >= 1)
+
+        bp = bp_ref[:]  # (hb, wc): B symbol broadcast along k
+        cp = cp_ref[:]  # (hb, wc): C symbol broadcast along j
+        s_bc = jnp.where(bp == cp, match, mismatch)
+
+        # Everything below is strictly 2-D (hb, wc) vector math: Mosaic's
+        # vector layout pass is happiest with rank-2 natively-tiled ops, so
+        # the 7 matrices travel as a tuple of planes, not a stacked rank-3
+        # array.  The carry holds planes q-1, q-2, q-3 for all 7 matrices.
+        #
+        # The zero init MUST come from a memory load: a jnp.zeros splat gets
+        # a replicated vector layout, and Mosaic (this libtpu) cannot
+        # relayout concrete loop-body yields back to a replicated carry
+        # ("Invalid relayout ... replicated in destination").
+        zero = zeros_ref[:]
+
+        def body(q, carry):
+            p1, p2, p3 = carry  # each: tuple of 7 (hb, wc) planes
+            # Position (j, k) of plane q needs A[q-j-k].  The host passes
+            # ASKREV[r, k] = A[(QQ - r) - k], so the whole symbol plane is
+            # the row window starting at r = QQ - q.  Vector loads need an
+            # 8-aligned sublane start, so load the surrounding aligned
+            # window and rotate the residue away.
+            start = qq - q
+            base = pl.multiple_of((start // 8) * 8, 8)
+            win = askew_ref[pl.ds(base, hb + 8), :]
+            # Rotate rows up by (start % 8); pltpu.roll requires a
+            # non-negative shift, so express it as the positive complement.
+            residue = start % 8
+            ap = pltpu.roll(win, (hb + 8 - residue) % (hb + 8), 0)[0:hb, :]
+            s_ab = jnp.where(ap == bp, match, mismatch)
+            s_ac = jnp.where(ap == cp, match, mismatch)
+            if sop:
+                s3 = s_ab + s_ac + s_bc
+            else:
+                s3 = jnp.where(
+                    ap == bp,
+                    jnp.where(bp == cp, 3 * match, (match + mismatch) * 2),
+                    3 * mismatch,
+                )
+            subs = (s3, 0, 0, 0, s_ab, s_bc, s_ac)
+
+            planes = (None, p1, p2, p3)
+            shifted = {}
+            for t in range(NUM_MATRICES):
+                dj, dk = SHIFTS[t]
+                key = (PLANE_DELTA[t], dj, dk)
+                if key not in shifted:
+                    src = planes[PLANE_DELTA[t]]
+                    if dj:
+                        src = tuple(_roll(x, 1, 0) for x in src)
+                    if dk:
+                        src = tuple(_roll(x, 1, 1) for x in src)
+                    shifted[key] = src
+            i_grid = q - jk
+            valid = (i_grid >= 1) & (i_grid <= la) & edge
+            new = []
+            for t in range(NUM_MATRICES):
+                pred = shifted[(PLANE_DELTA[t], SHIFTS[t][0], SHIFTS[t][1])]
+                cand = target_update(pred, groups[t], jnp.maximum) + subs[t]
+                new.append(jnp.where(valid, cand, 0))
+            return (tuple(new), p1, p2)
+
+        zeros7 = (zero,) * NUM_MATRICES
+        p_final, _, _ = jax.lax.fori_loop(
+            1, qmax + 1, body, (zeros7, zeros7, zeros7)
+        )
+
+        # Extract the 7 matrix values at (la, lb, lc): plane qmax, position
+        # (lb, lc) -- mask-and-reduce avoids dynamic sublane/lane slicing.
+        cellmask = (j_grid == lb) & (k_grid == lc)
+        for t in range(NUM_MATRICES):
+            out_ref[t, 0] = jnp.sum(jnp.where(cellmask, p_final[t], 0))
+
+    return kernel, qq
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lab", "hb", "wc", "scoring", "interpret")
+)
+def _run(lens, askew, bp, cp, lab, hb, wc, scoring, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel, qq = _make_kernel(lab, hb, wc, scoring)
+    flops_per_cell = 120
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((SUBLANE, 1), jnp.int32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # askew
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # bp
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # cp
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # zeros (layout anchor)
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_cell * lab * hb * wc,
+            bytes_accessed=(qq * wc + hb + wc) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(lens, askew, bp, cp, jnp.zeros((hb, wc), jnp.int32))
+
+
+def _prepare(a, b, c, lab, hb, wc):
+    la, lb, lc = len(a), len(b), len(c)
+    qq = lab + hb + wc
+    # ASKREV[r, k] = A[(qq - r) - k] (1-based A), PAD outside [1, la].
+    # The kernel reads the symbol plane for sweep step q as rows
+    # [qq - q, qq - q + hb), giving ap[j, k] = A[q - j - k].
+    ext = np.full(qq + 2, PAD_SYMBOL, dtype=np.int32)
+    ext[1 : la + 1] = np.asarray(a, dtype=np.int32)
+    # +8 rows so the kernel's 8-aligned window load never runs off the end.
+    ridx = np.arange(qq + hb + 8, dtype=np.int64)[:, None]
+    kidx = np.arange(wc, dtype=np.int64)[None, :]
+    u = qq - ridx - kidx
+    askew = np.where((u >= 1) & (u <= la), ext[np.clip(u, 0, qq + 1)], PAD_SYMBOL)
+    askew = askew.astype(np.int32)
+
+    b_col = np.full((hb, 1), PAD_SYMBOL - 1, dtype=np.int32)
+    b_col[1 : lb + 1, 0] = np.asarray(b, dtype=np.int32)
+    c_row = np.full((1, wc), PAD_SYMBOL - 2, dtype=np.int32)
+    c_row[0, 1 : lc + 1] = np.asarray(c, dtype=np.int32)
+    # Full planes (Mosaic prefers natively tiled 2-D operands over
+    # broadcasting (hb,1)/(1,wc) vectors inside the loop).
+    bp = np.broadcast_to(b_col, (hb, wc)).copy()
+    cp = np.broadcast_to(c_row, (hb, wc)).copy()
+    lens = np.array([la, lb, lc], dtype=np.int32)
+    return lens, askew, bp, cp
+
+
+def align_wavefront(
+    a, b, c, scoring: Scoring = Scoring(), interpret: bool | None = None
+) -> int:
+    """Optimal 3-sequence alignment score via the single-block Pallas kernel."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    c = np.asarray(c)
+    la, lb, lc = len(a), len(b), len(c)
+    if min(la, lb, lc) == 0:
+        return 0
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    lab, hb, wc = bucket_dims(la, lb, lc)
+    lens, askew, b_col, c_row = _prepare(a, b, c, lab, hb, wc)
+    out = _run(
+        jnp.asarray(lens),
+        jnp.asarray(askew),
+        jnp.asarray(b_col),
+        jnp.asarray(c_row),
+        lab,
+        hb,
+        wc,
+        scoring,
+        interpret,
+    )
+    return int(jax.device_get(out)[:NUM_MATRICES, 0].max())
