@@ -1,0 +1,61 @@
+"""Batched + data-parallel alignment tests on the virtual 8-device CPU mesh
+(the distributed coverage the single-chip reference never had, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from trialign.golden import align_planes_numpy
+from tests.conftest import random_triplet
+
+
+def _trips(rng, n, lo=5, hi=25):
+    return [
+        tuple(random_triplet(rng, rng.integers(lo, hi), rng.integers(lo, hi), rng.integers(lo, hi)))
+        for _ in range(n)
+    ]
+
+
+def test_batch_padded_matches_golden(rng):
+    from trialign.dist.batch import align_batch_padded
+
+    trips = _trips(rng, 9)
+    want = [align_planes_numpy(a, b, c) for a, b, c in trips]
+    assert align_batch_padded(trips) == want
+
+
+def test_batch_sharded_matches_golden(rng):
+    import jax
+
+    from trialign.dist.batch import align_batch_sharded
+
+    assert len(jax.devices()) == 8, "tests expect the 8-device CPU mesh"
+    trips = _trips(rng, 13)  # deliberately not a multiple of 8
+    want = [align_planes_numpy(a, b, c) for a, b, c in trips]
+    assert align_batch_sharded(trips) == want
+
+
+def test_batch_sharded_submesh(rng):
+    from trialign.dist.batch import align_batch_sharded
+    from trialign.dist.mesh import make_mesh
+
+    trips = _trips(rng, 6)
+    want = [align_planes_numpy(a, b, c) for a, b, c in trips]
+    mesh = make_mesh(data=4, model=2)
+    assert align_batch_sharded(trips, mesh=mesh) == want
+
+
+def test_batch_empty():
+    from trialign.dist.batch import align_batch_padded, align_batch_sharded
+
+    assert align_batch_padded([]) == []
+    assert align_batch_sharded([]) == []
+
+
+def test_api_align_batch(rng):
+    from trialign.api import align_batch
+
+    trips = _trips(rng, 4)
+    want = [align_planes_numpy(a, b, c) for a, b, c in trips]
+    results = align_batch(trips)
+    assert [r.score for r in results] == want
+    assert all(r.cells == len(t[0]) * len(t[1]) * len(t[2]) for r, t in zip(results, trips))

@@ -1,0 +1,226 @@
+"""Batched, data-parallel alignment of independent triplets.
+
+The reference aligns one triplet at a time (host FSM S_IDLE->S_ABSW->S_FINISH,
+reference: src/TriAlign_tb.sv:313-333); throughput workloads (MSA
+pre-alignment) need many.  Here a batch of padded triplets becomes one
+leading array axis: vmap adds it to the wavefront kernel, and shard_map
+splits it across the 'data' axis of a device mesh -- the dominant
+multi-chip mode for this workload.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from trialign.config import NUM_MATRICES, PAD_SYMBOL, Scoring
+from trialign.kernels.plane_math import (
+    PLANE_DELTA,
+    SHIFTS,
+    target_update,
+    transition_groups,
+)
+from trialign.kernels import wavefront as wf
+
+
+def prep_padded(
+    triplets: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int, int, int]:
+    """Stack triplets into compact common-bucket arrays for the batched core.
+
+    Only the three small sequence vectors cross host->device; the fat skewed
+    symbol planes are built on-chip (wavefront._build_planes)."""
+    la = max(len(t[0]) for t in triplets)
+    lb = max(len(t[1]) for t in triplets)
+    lc = max(len(t[2]) for t in triplets)
+    lab, hb, wc = wf.bucket_dims(la, lb, lc)
+    lens_l, a_l, b_l, c_l = [], [], [], []
+    for a, b, c in triplets:
+        lens, a_ext, b_full, c_full = wf.prepare_compact(a, b, c, lab, hb, wc)
+        lens_l.append(lens)
+        a_l.append(a_ext)
+        b_l.append(b_full)
+        c_l.append(c_full)
+    return (
+        np.stack(lens_l),
+        np.stack(a_l),
+        np.stack(b_l),
+        np.stack(c_l),
+        lab,
+        hb,
+        wc,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lab", "hb", "wc", "scoring", "engine", "interpret")
+)
+def _batched_scores(lens, a_ext, b_full, c_full, lab, hb, wc, scoring, engine, interpret):
+    """(B, ...) compact inputs -> (B,) int32 optimal scores."""
+    if engine == "pallas":
+        single = lambda l, a_, b_, c_: wf._run_compact(
+            l, a_, b_, c_, lab, hb, wc, scoring, interpret
+        )
+        outs = jax.vmap(single)(lens, a_ext, b_full, c_full)  # (B, 8, 1)
+        return jnp.max(outs[:, :NUM_MATRICES, 0], axis=1)
+
+    def one(l, a_, b_, c_):
+        askew, bp, cp = wf._build_planes(a_, b_, c_, lab, hb, wc)
+        return _sweep_padded(l, askew, bp, cp, lab, hb, wc, scoring)
+
+    return jax.vmap(one)(lens, a_ext, b_full, c_full)
+
+
+def _sweep_padded(lens, askew, bp, cp, lab, hb, wc, scoring: Scoring):
+    """XLA engine consuming the same padded inputs as the Pallas kernel:
+    a lax.scan plane sweep with runtime lengths and mask-reduce extraction."""
+    w = scoring.weight_matrix()
+    groups = transition_groups(w)
+    match = jnp.int32(scoring.match)
+    mismatch = jnp.int32(scoring.mismatch)
+    la, lb, lc = lens[0], lens[1], lens[2]
+    qmax = la + lb + lc
+    qq = lab + hb + wc
+
+    j_grid = jnp.arange(hb, dtype=jnp.int32)[:, None] * jnp.ones((1, wc), jnp.int32)
+    k_grid = jnp.ones((hb, 1), jnp.int32) * jnp.arange(wc, dtype=jnp.int32)[None, :]
+    jk = j_grid + k_grid
+    edge = (j_grid >= 1) & (k_grid >= 1)
+    s_bc = jnp.where(bp == cp, match, mismatch)
+    cellmask = (j_grid == lb) & (k_grid == lc)
+
+    def shift(x, dj, dk):
+        if dj:
+            x = jnp.roll(x, dj, axis=-2)
+        if dk:
+            x = jnp.roll(x, dk, axis=-1)
+        return x
+
+    def step(carry, q):
+        p1, p2, p3, captured = carry
+        ap = jax.lax.dynamic_slice(askew, (qq - q, 0), (hb, wc))
+        s_ab = jnp.where(ap == bp, match, mismatch)
+        s_ac = jnp.where(ap == cp, match, mismatch)
+        if scoring.s3_mode == "sop":
+            s3 = s_ab + s_ac + s_bc
+        else:
+            s3 = jnp.where(
+                ap == bp,
+                jnp.where(bp == cp, 3 * match, (match + mismatch) * 2),
+                3 * mismatch,
+            )
+        subs = (s3, 0, 0, 0, s_ab, s_bc, s_ac)
+        planes = (None, p1, p2, p3)
+        i_grid = q - jk
+        valid = (i_grid >= 1) & (i_grid <= la) & edge
+        new = []
+        for t in range(NUM_MATRICES):
+            pred = shift(planes[PLANE_DELTA[t]], *SHIFTS[t])
+            cand = target_update(pred, groups[t], jnp.maximum) + subs[t]
+            new.append(jnp.where(valid, cand, 0))
+        new = jnp.stack(new)
+        cellv = jnp.sum(jnp.where(cellmask[None], new, 0), axis=(1, 2))
+        captured = jnp.where(q == qmax, cellv, captured)
+        return (new, p1, p2, captured), None
+
+    z = jnp.zeros((NUM_MATRICES, hb, wc), jnp.int32)
+    (_, _, _, captured), _ = jax.lax.scan(
+        step,
+        (z[:], z[:], z[:], jnp.zeros((NUM_MATRICES,), jnp.int32)),
+        jnp.arange(1, qq + 1, dtype=jnp.int32),
+    )
+    return jnp.max(captured)
+
+
+def _pick_engine(interpret_ok: bool = True) -> Tuple[str, bool]:
+    if jax.default_backend() == "tpu":
+        return "pallas", False
+    return "xla", False
+
+
+def align_batch_padded(
+    triplets: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    scoring: Scoring = Scoring(),
+    engine: Optional[str] = None,
+) -> List[int]:
+    """Align a batch of triplets on the local default device."""
+    if not triplets:
+        return []
+    lens, askew, bp, cp, lab, hb, wc = prep_padded(triplets)
+    if engine is None:
+        engine, interpret = _pick_engine()
+    else:
+        interpret = engine == "pallas" and jax.default_backend() != "tpu"
+    scores = _batched_scores(
+        jnp.asarray(lens),
+        jnp.asarray(askew),
+        jnp.asarray(bp),
+        jnp.asarray(cp),
+        lab,
+        hb,
+        wc,
+        scoring,
+        engine,
+        interpret,
+    )
+    return [int(s) for s in jax.device_get(scores)]
+
+
+def align_batch_sharded(
+    triplets: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    scoring: Scoring = Scoring(),
+    mesh: Optional[Mesh] = None,
+    engine: Optional[str] = None,
+) -> List[int]:
+    """Align a batch data-parallel across the 'data' axis of a mesh.
+
+    Pads the batch up to a multiple of the data-axis size, shards the batch
+    dimension, and runs the padded batched core per device -- the TPU
+    equivalent of running N reference accelerators side by side.
+    """
+    if not triplets:
+        return []
+    if mesh is None:
+        from trialign.dist.mesh import default_mesh
+
+        mesh = default_mesh()
+    ndata = mesh.shape["data"]
+    n = len(triplets)
+    padded = list(triplets)
+    while len(padded) % ndata:
+        padded.append(padded[0])  # harmless duplicates, sliced off below
+
+    lens, askew, bp, cp, lab, hb, wc = prep_padded(padded)
+    if engine is None:
+        engine, interpret = _pick_engine()
+    else:
+        interpret = engine == "pallas" and jax.default_backend() != "tpu"
+
+    core = functools.partial(
+        _batched_scores,
+        lab=lab,
+        hb=hb,
+        wc=wc,
+        scoring=scoring,
+        engine=engine,
+        interpret=interpret,
+    )
+    spec = P("data")
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes info,
+    # which trips shard_map's default VMA validation.
+    fn = jax.shard_map(
+        lambda l, ak, b_, c_: core(l, ak, b_, c_),
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    scores = fn(
+        jnp.asarray(lens), jnp.asarray(askew), jnp.asarray(bp), jnp.asarray(cp)
+    )
+    return [int(s) for s in jax.device_get(scores)[:n]]

@@ -167,6 +167,36 @@ def _make_kernel(lab: int, hb: int, wc: int, scoring: Scoring):
     return kernel, qq
 
 
+def _build_planes(a_ext, b_full, c_full, lab, hb, wc):
+    """Device-side construction of the kernel's fat inputs from compact
+    sequences (host->device traffic is just the three sequences; the skewed
+    symbol array is redundant data best built on-chip).
+
+    a_ext: (lab+2,) int32, a_ext[i] = A_i for 1<=i<=la, PAD elsewhere.
+    b_full: (hb,) int32 with sentinel at 0; c_full: (wc,) int32 likewise.
+    """
+    qq = lab + hb + wc
+    ext = jnp.concatenate(
+        [a_ext, jnp.full((qq + hb + 8,), PAD_SYMBOL, jnp.int32)]
+    )
+    ridx = jnp.arange(qq + hb + 8, dtype=jnp.int32)[:, None]
+    kidx = jnp.arange(wc, dtype=jnp.int32)[None, :]
+    u = jnp.clip(qq - ridx - kidx, 0, ext.shape[0] - 1)
+    askew = ext[u]
+    bp = jnp.broadcast_to(b_full[:, None], (hb, wc))
+    cp = jnp.broadcast_to(c_full[None, :], (hb, wc))
+    return askew, bp, cp
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lab", "hb", "wc", "scoring", "interpret")
+)
+def _run_compact(lens, a_ext, b_full, c_full, lab, hb, wc, scoring, interpret):
+    """Compact-input entry: device-side prep fused with the kernel call."""
+    askew, bp, cp = _build_planes(a_ext, b_full, c_full, lab, hb, wc)
+    return _run(lens, askew, bp, cp, lab, hb, wc, scoring, interpret)
+
+
 @functools.partial(
     jax.jit, static_argnames=("lab", "hb", "wc", "scoring", "interpret")
 )
@@ -197,6 +227,19 @@ def _run(lens, askew, bp, cp, lab, hb, wc, scoring, interpret):
         ),
         interpret=interpret,
     )(lens, askew, bp, cp, jnp.zeros((hb, wc), jnp.int32))
+
+
+def prepare_compact(a, b, c, lab, hb, wc):
+    """Host-side compact arrays: three small int32 vectors + lengths."""
+    la, lb, lc = len(a), len(b), len(c)
+    a_ext = np.full(lab + 2, PAD_SYMBOL, dtype=np.int32)
+    a_ext[1 : la + 1] = np.asarray(a, dtype=np.int32)
+    b_full = np.full(hb, PAD_SYMBOL - 1, dtype=np.int32)
+    b_full[1 : lb + 1] = np.asarray(b, dtype=np.int32)
+    c_full = np.full(wc, PAD_SYMBOL - 2, dtype=np.int32)
+    c_full[1 : lc + 1] = np.asarray(c, dtype=np.int32)
+    lens = np.array([la, lb, lc], dtype=np.int32)
+    return lens, a_ext, b_full, c_full
 
 
 def _prepare(a, b, c, lab, hb, wc):
@@ -239,12 +282,12 @@ def align_wavefront(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     lab, hb, wc = bucket_dims(la, lb, lc)
-    lens, askew, b_col, c_row = _prepare(a, b, c, lab, hb, wc)
-    out = _run(
+    lens, a_ext, b_full, c_full = prepare_compact(a, b, c, lab, hb, wc)
+    out = _run_compact(
         jnp.asarray(lens),
-        jnp.asarray(askew),
-        jnp.asarray(b_col),
-        jnp.asarray(c_row),
+        jnp.asarray(a_ext),
+        jnp.asarray(b_full),
+        jnp.asarray(c_full),
         lab,
         hb,
         wc,
