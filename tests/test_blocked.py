@@ -1,0 +1,55 @@
+"""Blocked (sliced) sweep parity tests.
+
+Interpret mode is slow, so the default suite runs one small multi-block
+case with a reduced block shape; the full-size cases are slow-marked.
+Real-TPU parity at 300^3..1k^3 is exercised by bench.py and was verified
+against the golden model / XLA reference during development.
+"""
+
+import numpy as np
+import pytest
+
+from trialign.golden import align_planes_numpy
+from trialign.kernels.blocked import align_blocked, plan_dims
+from tests.conftest import random_triplet
+
+
+def test_plan_dims_geometry():
+    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, s1, s2 = plan_dims(300, 300, 300)
+    assert (hb, wc) == (256, 128)
+    assert n_jb == 2 and n_kb == 3  # ceil(300/255), ceil(300/127)
+    assert qqb == lab + 255 + 127
+    # Face rows must cover every (q + offset) index the kernel touches.
+    assert s1 >= qqb + (n_kb - 1) * 127 + 1
+    assert s2 >= qqb + (n_jb - 1) * 255 + 1
+
+
+def test_blocked_multiblock_j(rng):
+    a, b, c = random_triplet(rng, 10, 40, 50)
+    want = align_planes_numpy(a, b, c)
+    got = align_blocked(a, b, c, interpret=True, block_shape=(16, 128))
+    assert got == want
+
+
+@pytest.mark.slow
+def test_blocked_multiblock_jk(rng):
+    a, b, c = random_triplet(rng, 8, 35, 300)
+    want = align_planes_numpy(a, b, c)
+    got = align_blocked(a, b, c, interpret=True, block_shape=(16, 128))
+    assert got == want
+
+
+@pytest.mark.slow
+def test_blocked_nondefault_scoring(rng):
+    from trialign.config import Scoring
+
+    sc = Scoring(match=2, mismatch=-1, gap_open=3, gap_extend=1, s3_mode="rtl")
+    a, b, c = random_triplet(rng, 6, 20, 140)
+    want = align_planes_numpy(a, b, c, sc)
+    got = align_blocked(a, b, c, sc, interpret=True, block_shape=(16, 128))
+    assert got == want
+
+
+def test_blocked_empty():
+    e = np.zeros(0, dtype=np.uint8)
+    assert align_blocked(e, e, e) == 0
