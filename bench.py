@@ -78,6 +78,21 @@ def bench_batch(n, batch, scoring):
     return batch * n**3 / dt / 1e9, dt
 
 
+def bench_blocked(n, scoring):
+    """Long-triplet sliced sweep (the slicing-method path) at n^3."""
+    from trialign.kernels.blocked import align_blocked
+
+    rng = np.random.default_rng(3)
+    a, b, c = (rng.integers(0, 4, size=n).astype(np.uint8) for _ in range(3))
+    align_blocked(a, b, c, scoring)  # compile
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        align_blocked(a, b, c, scoring)
+        best = min(best, time.perf_counter() - t0)
+    return n**3 / best / 1e9, best
+
+
 def parity_check(scoring):
     """Bit-exact score parity of the compiled kernel vs the NumPy oracle on
     the canonical dat triplet -- a bench run with wrong answers is void."""
@@ -115,9 +130,12 @@ def main():
     log(f"single-stream {n}^3: {dt*1e3:.2f} ms/alignment -> {gcups:.2f} GCUPS")
 
     batch_gcups = None
+    blocked_gcups = None
     if on_tpu:
         batch_gcups, bdt = bench_batch(255, 16, scoring)
         log(f"batch 16x255^3 end-to-end: {bdt*1e3:.1f} ms -> {batch_gcups:.2f} GCUPS")
+        blocked_gcups, bldt = bench_blocked(1024, scoring)
+        log(f"blocked 1k^3 (sliced sweep): {bldt*1e3:.1f} ms -> {blocked_gcups:.2f} GCUPS")
 
     result = {
         "metric": f"single-chip DP cell-updates/s at {n}^3 (7-matrix cells, Pallas wavefront)",
@@ -127,6 +145,7 @@ def main():
         "parity": "exact",
         "backend": backend,
         "batch_end_to_end_gcups": round(batch_gcups, 3) if batch_gcups else None,
+        "blocked_1k_gcups": round(blocked_gcups, 3) if blocked_gcups else None,
     }
     print(json.dumps(result), flush=True)
 

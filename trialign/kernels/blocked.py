@@ -17,7 +17,7 @@ includes the halo position kl=0, whose value is exactly the corner the
 diagonally-next block needs (the role the reference's double-buffered z-SRAM
 banks play, src/TriAlign_1cyc.v:127-131).
 
-Default block: (Tb, Tc) = (255, 127) cells -> a (256, 128) int32 plane per
+Default block: (Tb, Tc) = (127, 127) cells -> a (128, 128) int32 plane per
 matrix with halo row 0 / column 0.  Tests on CPU use smaller blocks to keep
 interpret mode tractable.
 """
@@ -39,8 +39,10 @@ from trialign.kernels.plane_math import (
     transition_groups,
 )
 
-DEF_HB = 256  # default plane rows (j): halo + Tb cells
+DEF_HB = 128  # default plane rows (j): halo + Tb cells
 DEF_WC = 128  # default plane cols (k): halo + Tc cells
+# (128,128) measured fastest at 1k^3 on v5e: padding waste dominates the
+# current per-slot cost; revisit when per-step DMA overhead is profiled out.
 NRD = 8  # read-prefetch ring slots
 DEPTH = 4  # read-prefetch distance (planes)
 NWR = 2  # write ring slots
