@@ -1,0 +1,200 @@
+"""Hirschberg-style divide-and-conquer alignment recovery.
+
+Restores the capability the reference hardware stubbed out (its traceback
+`act` outputs and action memory are commented out, src/PE_1cyc.v:12-14,30):
+full three-way alignments in O(n^2) memory instead of an O(n^3) action
+cuboid.
+
+Split on the middle A-plane i = m: F[s, j, k] is the best prefix-path score
+ending at (m, j, k) in state s (forward sweep, honoring the subproblem's
+start mode); G[s, j, k] the best suffix-path score from there to the end
+(backward sweep).  max(F + G) over (s, j, k) recovers the optimal crossing,
+whose state is pinned into both half problems; recursion bottoms out in a
+small cuboid DP with an explicit argmax walk.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from trialign.config import CONSUMES, NUM_MATRICES, OFFSETS, Scoring
+from trialign.traceback.engine import NEG, backward_slab, forward_sweep
+
+# Base-case cuboid cell budget (7 matrices x 4B each: ~29 MB at the cap).
+BASE_CELLS = 1 << 20
+
+Column = Tuple[int, int, int]
+
+
+def _sub_at(scoring: Scoring, t: int, a, b, c, i: int, j: int, k: int) -> int:
+    ca, cb, cc = CONSUMES[t]
+    m, x = scoring.match, scoring.mismatch
+    if ca and cb and cc:
+        return int(scoring.triple_score(a[i - 1], b[j - 1], c[k - 1]))
+    if ca and cb:
+        return m if a[i - 1] == b[j - 1] else x
+    if cb and cc:
+        return m if b[j - 1] == c[k - 1] else x
+    if ca and cc:
+        return m if a[i - 1] == c[k - 1] else x
+    return 0
+
+
+def _walk(
+    d: np.ndarray,
+    a,
+    b,
+    c,
+    scoring: Scoring,
+    mode: str,
+    end_state: Optional[int],
+) -> Tuple[int, List[Column]]:
+    """Argmax walk over a full cuboid; returns (score, columns oldest-first)."""
+    w = scoring.weight_matrix().astype(np.int64)
+    la, lb, lc = len(a), len(b), len(c)
+    i, j, k = la, lb, lc
+    if end_state is None:
+        t = int(np.argmax(d[:, i, j, k]))
+    else:
+        t = end_state
+    score = int(d[t, i, j, k])
+    cols: List[Column] = []
+
+    freeish = mode != "pin"
+    while (i, j, k) != (0, 0, 0):
+        if freeish and (i == 0 or j == 0 or k == 0):
+            break
+        di, dj, dk = OFFSETS[t]
+        val = int(d[t, i, j, k])
+        target = val - _sub_at(scoring, t, a, b, c, i, j, k)
+        pi, pj, pk = i - di, j - dj, k - dk
+        pred = d[:, pi, pj, pk].astype(np.int64) + w[t]
+        hits = np.flatnonzero(pred == target)
+        assert hits.size, (i, j, k, t, val, target, d[:, pi, pj, pk], w[t])
+        s = int(hits[0])
+        cols.append(
+            (
+                int(a[i - 1]) if di else -1,
+                int(b[j - 1]) if dj else -1,
+                int(c[k - 1]) if dk else -1,
+            )
+        )
+        i, j, k = pi, pj, pk
+        if freeish and (i == 0 or j == 0 or k == 0):
+            break
+        t = s
+
+    if freeish:
+        # Emit the unscored leading context (free borders).
+        while i > 0 or j > 0 or k > 0:
+            cols.append(
+                (
+                    int(a[i - 1]) if i > 0 else -1,
+                    int(b[j - 1]) if j > 0 else -1,
+                    int(c[k - 1]) if k > 0 else -1,
+                )
+            )
+            i, j, k = max(i - 1, 0), max(j - 1, 0), max(k - 1, 0)
+
+    cols.reverse()
+    return score, cols
+
+
+def _solve(
+    a,
+    b,
+    c,
+    scoring: Scoring,
+    mode: str,
+    s0: Optional[int],
+    end_state: Optional[int],
+) -> Tuple[int, List[Column]]:
+    la, lb, lc = len(a), len(b), len(c)
+    cells = (la + 1) * (lb + 1) * (lc + 1)
+
+    freeish = mode != "pin"
+    if la <= 1 or cells <= BASE_CELLS:
+        v0 = None
+        if mode == "pin":
+            v0 = np.full(NUM_MATRICES, NEG, dtype=np.int32)
+            v0[s0] = 0
+        _, _, cuboid = forward_sweep(
+            a, b, c, scoring, mode=mode, v0=v0, return_cuboid=True
+        )
+        return _walk(cuboid, a, b, c, scoring, mode, end_state)
+
+    m = la // 2
+    v0 = None
+    if mode == "pin":
+        v0 = np.full(NUM_MATRICES, NEG, dtype=np.int32)
+        v0[s0] = 0
+    _, f_slab, _ = forward_sweep(
+        a[:m], b, c, scoring, mode=mode, v0=v0, capture_m=m
+    )
+    end_v = np.zeros(NUM_MATRICES, dtype=np.int32)
+    if end_state is not None:
+        end_v[:] = NEG
+        end_v[end_state] = 0
+    g_slab = backward_slab(a[m:], b, c, scoring, end_v=end_v)
+
+    total = f_slab.astype(np.int64) + g_slab.astype(np.int64)
+    flat = int(np.argmax(total))
+    sstar, jstar, kstar = np.unravel_index(flat, total.shape)
+    sstar, jstar, kstar = int(sstar), int(jstar), int(kstar)
+    score = int(total[sstar, jstar, kstar])
+
+    if freeish:
+        # Free j/k borders admit paths that start at i0 > m on a border face
+        # and never cross the i = m slab by real DP steps.  Those live
+        # entirely in the right half, whose own i=0 face is NOT a border
+        # (it is the interior plane i=m of this problem) -- hence free_jk.
+        h_final, _, _ = forward_sweep(a[m:], b, c, scoring, mode="free_jk")
+        h_val = int(h_final[end_state]) if end_state is not None else int(h_final.max())
+        if h_val > score:
+            r_score, r_cols = _solve(a[m:], b, c, scoring, "free_jk", None, end_state)
+            prefix = [(int(a[i]), -1, -1) for i in range(m)]
+            return r_score, prefix + r_cols
+
+    left_score, left_cols = _solve(
+        a[:m], b[:jstar], c[:kstar], scoring, mode, s0, sstar
+    )
+    right_score, right_cols = _solve(
+        a[m:], b[jstar:], c[kstar:], scoring, "pin", sstar, end_state
+    )
+    assert left_score + right_score == score, (left_score, right_score, score)
+    return score, left_cols + right_cols
+
+
+def hirschberg_align(
+    a, b, c, scoring: Scoring = Scoring()
+) -> Tuple[int, List[List[int]]]:
+    """Optimal score plus one optimal alignment (3 rows of codes, -1 = gap).
+
+    Semantics match the golden model's traceback: zero-border free start,
+    max-over-states end at (|A|, |B|, |C|).
+    """
+    a = np.asarray(a)
+    b = np.asarray(b)
+    c = np.asarray(c)
+    if min(len(a), len(b), len(c)) == 0:
+        # Final cell sits on a zero border: score 0, all-context alignment.
+        cols = []
+        i, j, k = len(a), len(b), len(c)
+        while i or j or k:
+            cols.append(
+                (
+                    int(a[i - 1]) if i else -1,
+                    int(b[j - 1]) if j else -1,
+                    int(c[k - 1]) if k else -1,
+                )
+            )
+            i, j, k = max(i - 1, 0), max(j - 1, 0), max(k - 1, 0)
+        cols.reverse()
+        rows = [list(r) for r in zip(*cols)] if cols else [[], [], []]
+        return 0, rows
+
+    score, cols = _solve(a, b, c, scoring, "free", None, None)
+    rows = [list(r) for r in zip(*cols)]
+    return score, rows
