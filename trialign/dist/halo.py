@@ -1,0 +1,180 @@
+"""Multi-chip single-triplet alignment: block-grid partitioning with ICI
+halo exchange.
+
+One long triplet's DP block grid is split into k-stripes across the 'model'
+axis of the mesh: device d owns block columns kb in [d*W, (d+1)*W).  Row
+faces (skew s = i + k) are column-local slabs and never leave a device; only
+the column face at each stripe boundary crosses chips, via lax.ppermute --
+the distributed generalization of the reference's SRAM boundary-face
+exchange (SURVEY.md section 2: ICI halo exchange is the repo's analogue of
+context/sequence parallelism).
+
+Block rows pipeline across devices as a second-level wavefront: at step t,
+device d processes row jb = t - d, so D devices finish n_jb rows in
+n_jb + D - 1 steps (efficiency n_jb / (n_jb + D - 1), >= 80% once
+n_jb >= 4(D-1), mirroring the PE array's diagonal ramp one level up).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from trialign.config import NUM_MATRICES, PAD_SYMBOL, Scoring
+from trialign.kernels import blocked as BK
+
+
+def _plan(la, lb, lc, ndev, hb, wc):
+    tb, tc = hb - 1, wc - 1
+    n_kb = max(1, -(-lc // tc))
+    n_kb = -(-n_kb // ndev) * ndev  # pad to a multiple of the stripe count
+    # Recompute dims with the padded k extent so faces/symbols cover it.
+    dims = BK.plan_dims(la, lb, max(lc, n_kb * tc), hb, wc)
+    return dims, n_kb // ndev
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "n_kb_local", "ndev", "scoring", "interpret", "mesh"),
+)
+def _halo_core(lens, a_ext, b_arr, c_arr, dims, n_kb_local, ndev, scoring, interpret, mesh):
+    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, s1, s2 = dims
+    tb, tc = hb - 1, wc - 1
+    la, lb, lc = lens[0], lens[1], lens[2]
+    block_call = BK.make_block_call(dims, n_kb_local, 1, scoring, interpret)
+
+    jbstar = (lb - 1) // tb
+    kbstar = (lc - 1) // tc
+    jlstar = lb - jbstar * tb
+    klstar = lc - kbstar * tc
+
+    def device_fn(lens, a_ext, b_arr, c_arr):
+        d = jax.lax.axis_index("model")
+        askew = BK._build_askew_blocked(a_ext, qqb, hb, wc)
+        zeros = jnp.zeros((hb, wc), jnp.int32)
+
+        srf0 = jnp.zeros((n_kb_local, s1, 8, wc), jnp.int32)
+        cf0 = jnp.zeros((1, s2, 8, hb), jnp.int32)
+        res0 = jnp.zeros((8, 1), jnp.int32)
+
+        def row_sweep(jb, srf, cf, res):
+            j0 = jb * tb
+
+            def kb_body(carry, kbl):
+                srf, cf, res = carry
+                kb = d * n_kb_local + kbl
+                k0 = kb * tc
+                is_t = (jb == jbstar) & (kb == kbstar)
+                scal = jnp.stack(
+                    [
+                        la,
+                        j0,
+                        k0,
+                        jnp.int32(0),  # cf slab index (single travelling slab)
+                        kbl,  # srf slab index (device-local)
+                        jnp.where(is_t, la + jlstar + klstar, jnp.int32(-1)),
+                        jnp.where(is_t, jlstar, -1),
+                        jnp.where(is_t, klstar, -1),
+                    ]
+                ).astype(jnp.int32)
+                bp = jnp.broadcast_to(
+                    jax.lax.dynamic_slice(b_arr, (j0,), (hb,))[:, None], (hb, wc)
+                )
+                cp = jnp.broadcast_to(
+                    jax.lax.dynamic_slice(c_arr, (k0,), (wc,))[None, :], (hb, wc)
+                )
+                srf, cf, out = block_call(scal, askew, bp, cp, zeros, srf, cf)
+                res = jnp.where(is_t, out, res)
+                return (srf, cf, res), None
+
+            (srf, cf, res), _ = jax.lax.scan(
+                kb_body, (srf, cf, res), jnp.arange(n_kb_local, dtype=jnp.int32)
+            )
+            return srf, cf, res
+
+        def step(carry, t):
+            srf, cf_recv, res = carry
+            jb = t - d
+            valid = (jb >= 0) & (jb < n_jb)
+            srf, cf, res = jax.lax.cond(
+                valid,
+                lambda args: row_sweep(jnp.maximum(jb, 0), *args),
+                lambda args: args,
+                (srf, cf_recv, res),
+            )
+            # Hand this row's right-boundary column face to the next stripe.
+            cf_next = jax.lax.ppermute(
+                cf, "model", [(i, i + 1) for i in range(ndev - 1)]
+            )
+            return (srf, cf_next, res), None
+
+        nsteps = n_jb + ndev - 1
+        (_, _, res), _ = jax.lax.scan(
+            step, (srf0, cf0, res0), jnp.arange(nsteps, dtype=jnp.int32)
+        )
+        return jax.lax.psum(res, "model")
+
+    fn = jax.shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(lens, a_ext, b_arr, c_arr)
+
+
+def align_sharded_triplet(
+    a,
+    b,
+    c,
+    scoring: Scoring = Scoring(),
+    mesh: Optional[Mesh] = None,
+    interpret: Optional[bool] = None,
+    block_shape: Optional[Tuple[int, int]] = None,
+) -> int:
+    """Optimal score of one long triplet partitioned across the mesh's
+    'model' axis with ICI halo exchange of block boundary faces."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    c = np.asarray(c)
+    la, lb, lc = len(a), len(b), len(c)
+    if min(la, lb, lc) == 0:
+        return 0
+    if mesh is None:
+        from trialign.dist.mesh import make_mesh
+
+        mesh = make_mesh(data=1, model=len(jax.devices()))
+    ndev = mesh.shape["model"]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    hb, wc = block_shape if block_shape else (BK.DEF_HB, BK.DEF_WC)
+    dims, n_kb_local = _plan(la, lb, lc, ndev, hb, wc)
+    _, _, lab, n_jb, n_kb, qqb, kdim, jdim, s1, s2 = dims
+
+    a_ext = np.full(lab + 2, PAD_SYMBOL, dtype=np.int32)
+    a_ext[1 : la + 1] = a
+    b_arr = np.full(jdim + hb + 8, PAD_SYMBOL - 1, dtype=np.int32)
+    b_arr[1 : lb + 1] = b
+    c_arr = np.full(kdim + wc + 8, PAD_SYMBOL - 2, dtype=np.int32)
+    c_arr[1 : lc + 1] = c
+    lens = np.array([la, lb, lc], dtype=np.int32)
+
+    res = _halo_core(
+        jnp.asarray(lens),
+        jnp.asarray(a_ext),
+        jnp.asarray(b_arr),
+        jnp.asarray(c_arr),
+        dims,
+        n_kb_local,
+        ndev,
+        scoring,
+        interpret,
+        mesh,
+    )
+    return int(jax.device_get(res)[:NUM_MATRICES, 0].max())

@@ -278,17 +278,16 @@ def _build_askew_blocked(a_ext, qqb, hb, wc):
     return ext[u]
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "scoring", "interpret"))
-def _blocked_core(lens, a_ext, b_arr, c_arr, dims, scoring, interpret):
+def make_block_call(dims: Tuple, n_srf_slabs: int, n_cf_slabs: int, scoring: Scoring, interpret: bool):
+    """Build the per-block pallas_call with the given face-slab counts.
+
+    Used by the single-chip scan (slabs per block column / block row) and by
+    the multi-chip halo mode (local column slabs, one travelling row slab).
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, s1, s2 = dims
-    tb, tc = hb - 1, wc - 1
-    la, lb, lc = lens[0], lens[1], lens[2]
-    askew = _build_askew_blocked(a_ext, qqb, hb, wc)
-    zeros = jnp.zeros((hb, wc), jnp.int32)
-
     kernel = _make_block_kernel(dims, scoring)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -317,18 +316,28 @@ def _blocked_core(lens, a_ext, b_arr, c_arr, dims, scoring, interpret):
         ],
     )
 
-    block_call = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((n_kb, s1, 8, wc), jnp.int32),
-            jax.ShapeDtypeStruct((n_jb, s2, 8, hb), jnp.int32),
+            jax.ShapeDtypeStruct((n_srf_slabs, s1, 8, wc), jnp.int32),
+            jax.ShapeDtypeStruct((n_cf_slabs, s2, 8, hb), jnp.int32),
             jax.ShapeDtypeStruct((8, 1), jnp.int32),
         ),
         input_output_aliases={5: 0, 6: 1},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "scoring", "interpret"))
+def _blocked_core(lens, a_ext, b_arr, c_arr, dims, scoring, interpret):
+    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, s1, s2 = dims
+    tb, tc = hb - 1, wc - 1
+    la, lb, lc = lens[0], lens[1], lens[2]
+    askew = _build_askew_blocked(a_ext, qqb, hb, wc)
+    zeros = jnp.zeros((hb, wc), jnp.int32)
+    block_call = make_block_call(dims, n_kb, n_jb, scoring, interpret)
 
     # Target block containing the global final cell (lb, lc).
     jbstar = (lb - 1) // tb
