@@ -1,0 +1,49 @@
+"""Native C++ reference engine: exact parity with the golden model."""
+
+import numpy as np
+import pytest
+
+from trialign.config import Scoring
+from trialign.golden import align_planes_numpy
+from tests.conftest import random_triplet
+
+native = pytest.importorskip("trialign.native")
+if not native.is_available():  # pragma: no cover - toolchain missing
+    pytest.skip("g++ toolchain unavailable", allow_module_level=True)
+
+
+@pytest.mark.parametrize("s3_mode", ["sop", "rtl"])
+def test_native_matches_golden(rng, s3_mode):
+    sc = Scoring(s3_mode=s3_mode)
+    for _ in range(6):
+        la, lb, lc = (int(x) for x in rng.integers(4, 40, size=3))
+        a, b, c = random_triplet(rng, la, lb, lc)
+        assert native.score_native(a, b, c, sc) == align_planes_numpy(a, b, c, sc)
+
+
+def test_native_nondefault_scoring(rng):
+    sc = Scoring(match=3, mismatch=-2, gap_open=5, gap_extend=2)
+    a, b, c = random_triplet(rng, 20, 25, 15)
+    assert native.score_native(a, b, c, sc) == align_planes_numpy(a, b, c, sc)
+
+
+def test_native_batch(rng):
+    trips = [
+        tuple(random_triplet(rng, *(int(x) for x in rng.integers(3, 25, size=3))))
+        for _ in range(12)
+    ]
+    want = [align_planes_numpy(a, b, c) for a, b, c in trips]
+    assert native.score_native_batch(trips) == want
+
+
+def test_native_empty():
+    e = np.zeros(0, dtype=np.uint8)
+    a = np.ones(3, dtype=np.uint8)
+    assert native.score_native(a, e, a) == 0
+
+
+def test_native_dat_triplet():
+    from trialign.io import load_reference_triplet
+
+    a, b, c = load_reference_triplet()
+    assert native.score_native(a, b, c) == align_planes_numpy(a, b, c)
