@@ -105,6 +105,10 @@ def align(
         from trialign.kernels.blocked import align_blocked
 
         score = align_blocked(a, b, c, scoring)
+    elif backend == "native":
+        from trialign.native import score_native
+
+        score = score_native(a, b, c, scoring)
     else:
         raise ValueError(f"unknown backend {backend!r}")
 

@@ -1,0 +1,183 @@
+"""Command-line interface.
+
+The reference is driven by recompiling Verilog parameters and re-running a
+simulator (SURVEY.md section 5: all configuration is compile-time localparams,
+src/TriAlign_1cyc.v:1-8).  Here everything is a runtime flag.
+
+Examples:
+  python -m trialign.cli align --a ACGTACGT --b ACGACGT --c ACTTACG --alignment
+  python -m trialign.cli align --a-file dat/A_seq.dat --b-file dat/B_seq.dat \
+      --c-file dat/C_seq.dat --backend golden
+  python -m trialign.cli batch --tsv triplets.tsv
+  python -m trialign.cli selftest
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from trialign.config import Scoring, decode, encode
+
+
+def _load_seq(inline, path):
+    if inline is not None:
+        return encode(inline)
+    if path is None:
+        raise SystemExit("provide either an inline sequence or a file")
+    if path.endswith(".dat"):
+        from trialign.io import load_dat_sequence
+
+        return load_dat_sequence(path)
+    from trialign.io import read_fasta
+
+    seqs = read_fasta(path)
+    if len(seqs) != 1:
+        raise SystemExit(f"{path}: expected exactly one FASTA record, got {len(seqs)}")
+    return encode(next(iter(seqs.values())))
+
+
+def _scoring(args) -> Scoring:
+    return Scoring(
+        match=args.match,
+        mismatch=args.mismatch,
+        gap_open=args.gap_open,
+        gap_extend=args.gap_extend,
+        s3_mode=args.s3_mode,
+    )
+
+
+def _add_scoring_args(p):
+    p.add_argument("--match", type=int, default=1)
+    p.add_argument("--mismatch", type=int, default=-1)
+    p.add_argument("--gap-open", type=int, default=2)
+    p.add_argument("--gap-extend", type=int, default=1)
+    p.add_argument("--s3-mode", choices=["sop", "rtl"], default="sop")
+
+
+def cmd_align(args) -> int:
+    from trialign.api import align
+    from trialign.metrics import device_summary
+
+    a = _load_seq(args.a, args.a_file)
+    b = _load_seq(args.b, args.b_file)
+    c = _load_seq(args.c, args.c_file)
+    res = align(
+        a, b, c, scoring=_scoring(args), backend=args.backend,
+        return_alignment=args.alignment,
+    )
+    if args.json:
+        out = {
+            "score": res.score,
+            "backend": res.backend,
+            "cells": res.cells,
+            "seconds": round(res.seconds, 6),
+            "gcups": round(res.gcups, 4),
+            "device": device_summary(),
+        }
+        if res.alignment:
+            out["alignment"] = [
+                decode([v if v != -1 else 255 for v in row]) for row in res.alignment
+            ]
+        print(json.dumps(out))
+    else:
+        print(f"score: {res.score}")
+        print(f"backend: {res.backend}  cells: {res.cells}  "
+              f"time: {res.seconds*1e3:.2f} ms  gcups: {res.gcups:.3f}")
+        if res.alignment:
+            for name, row in zip("ABC", res.alignment):
+                print(f"{name}: {decode([v if v != -1 else 255 for v in row])}")
+    return 0
+
+
+def cmd_batch(args) -> int:
+    from trialign.api import align_batch
+
+    trips = []
+    with open(args.tsv) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) != 3:
+                continue
+            trips.append(tuple(encode(p) for p in parts))
+    results = align_batch(trips, scoring=_scoring(args))
+    for i, r in enumerate(results):
+        print(f"{i}\t{r.score}")
+    return 0
+
+
+def cmd_selftest(args) -> int:
+    """Cross-backend parity on the canonical triplet -- the self-checking
+    the reference testbench lacked."""
+    import jax
+
+    from trialign.golden import align_planes_numpy
+    from trialign.io import load_reference_triplet
+
+    a, b, c = load_reference_triplet()
+    sc = _scoring(args)
+    want = align_planes_numpy(a, b, c, sc)
+    rows = [("golden", want)]
+
+    from trialign.kernels.xla_ref import align_xla
+
+    rows.append(("xla", align_xla(a, b, c, sc)))
+    from trialign.kernels.wavefront import align_wavefront
+
+    rows.append(("pallas", align_wavefront(a, b, c, sc)))
+    try:
+        from trialign.native import score_native
+
+        rows.append(("native-c++", score_native(a, b, c, sc)))
+    except Exception as e:  # toolchain may be missing
+        print(f"native-c++: skipped ({e})", file=sys.stderr)
+    from trialign.traceback import hirschberg_align
+
+    hscore, _ = hirschberg_align(a, b, c, sc)
+    rows.append(("hirschberg", hscore))
+
+    ok = True
+    for name, got in rows:
+        good = got == want
+        ok &= good
+        print(f"{name:12s} {got:6d}  {'OK' if good else 'MISMATCH'}")
+    print(f"backend: {jax.default_backend()}  ->  {'PASS' if ok else 'FAIL'}")
+    return 0 if ok else 1
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="trialign", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("align", help="align one triplet")
+    p.add_argument("--a")
+    p.add_argument("--b")
+    p.add_argument("--c")
+    p.add_argument("--a-file")
+    p.add_argument("--b-file")
+    p.add_argument("--c-file")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "golden", "xla", "pallas", "pallas_interpret", "blocked", "native"])
+    p.add_argument("--alignment", action="store_true", help="recover the alignment")
+    p.add_argument("--json", action="store_true")
+    _add_scoring_args(p)
+    p.set_defaults(fn=cmd_align)
+
+    p = sub.add_parser("batch", help="align triplets from a TSV (a b c per line)")
+    p.add_argument("--tsv", required=True)
+    _add_scoring_args(p)
+    p.set_defaults(fn=cmd_batch)
+
+    p = sub.add_parser("selftest", help="cross-backend parity check")
+    _add_scoring_args(p)
+    p.set_defaults(fn=cmd_selftest)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
