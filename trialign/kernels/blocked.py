@@ -33,9 +33,7 @@ import numpy as np
 
 from trialign.config import NUM_MATRICES, PAD_SYMBOL, Scoring
 from trialign.kernels.plane_math import (
-    PLANE_DELTA,
-    SHIFTS,
-    target_update,
+    fused_plane_update,
     transition_groups,
 )
 
@@ -189,26 +187,18 @@ def _make_block_kernel(dims: Tuple, scoring: Scoring):
                 )
             subs = (s3, 0, 0, 0, s_ab, s_bc, s_ac)
 
-            planes = (None, p1, p2, p3)
-            shifted = {}
-            for t in range(NUM_MATRICES):
-                dj, dk = SHIFTS[t]
-                key = (PLANE_DELTA[t], dj, dk)
-                if key not in shifted:
-                    src = planes[PLANE_DELTA[t]]
-                    if dj:
-                        src = tuple(pltpu.roll(x, 1, 0) for x in src)
-                    if dk:
-                        src = tuple(pltpu.roll(x, 1, 1) for x in src)
-                    shifted[key] = src
-
             i_grid = q - jk
             valid = (i_grid >= 1) & (i_grid <= la) & edge
+            cands = fused_plane_update(
+                (None, p1, p2, p3),
+                subs,
+                groups,
+                jnp.maximum,
+                lambda x, axis: pltpu.roll(x, 1, axis),
+            )
             new = []
             for t in range(NUM_MATRICES):
-                pred = shifted[(PLANE_DELTA[t], SHIFTS[t][0], SHIFTS[t][1])]
-                cand = target_update(pred, groups[t], jnp.maximum) + subs[t]
-                cand = jnp.where(valid, cand, 0)
+                cand = jnp.where(valid, cands[t], 0)
                 # Halo install: column 0 from the col face, then row 0 from
                 # the row face (row wins at [0,0], where the banked face
                 # carries the diagonal-corner value).

@@ -29,9 +29,7 @@ import numpy as np
 
 from trialign.config import NUM_MATRICES, PAD_SYMBOL, Scoring
 from trialign.kernels.plane_math import (
-    PLANE_DELTA,
-    SHIFTS,
-    target_update,
+    fused_plane_update,
     transition_groups,
 )
 
@@ -45,11 +43,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def bucket_dims(la: int, lb: int, lc: int) -> Tuple[int, int, int]:
-    """Pad dims to compile-friendly buckets: HB (j) to multiples of 8,
-    WC (k) to multiples of 128, A-length to multiples of 64."""
-    hb = _round_up(max(lb + 1, SUBLANE), SUBLANE)
+    """Pad dims to compile-friendly buckets: HB (j) to multiples of 16
+    (the int16 sublane tile), WC (k) to multiples of 128, A-length to
+    multiples of 64."""
+    hb = _round_up(max(lb + 1, 16), 16)
     # Coarser HB buckets to limit recompiles.
-    for cand in (8, 16, 32, 64, 96, 128, 192, 256):
+    for cand in (16, 32, 64, 96, 128, 192, 256):
         if hb <= cand:
             hb = cand
             break
@@ -63,19 +62,38 @@ def bucket_dims(la: int, lb: int, lc: int) -> Tuple[int, int, int]:
     return lab, hb, wc
 
 
-def _roll(x, shift, axis):
-    # pltpu.roll wants the lane/sublane axes; jnp.roll lowers fine in
-    # interpret mode and Mosaic handles it on TPU.
-    return jnp.roll(x, shift, axis=axis)
+def score_dtype(scoring: Scoring, qmax: int):
+    """Narrowest plane dtype that provably cannot overflow.
+
+    Valid-cell magnitudes are bounded by qmax * (max substitution bonus +
+    max gap charge); masked/garbage cells never exceed the running max (a
+    max-plus combine with non-positive weights is non-expansive).  int16
+    planes pack two values per 32-bit VPU lane -- ~2x elementwise
+    throughput -- the software analogue of the RTL's narrow 12-bit
+    datapath (reference: src/TriAlign_1cyc.v:6 SCORE_BITS=12).
+    """
+    step = 3 * max(abs(scoring.match), abs(scoring.mismatch)) + 2 * (
+        abs(scoring.gap_open) + abs(scoring.gap_extend)
+    )
+    if not ENABLE_INT16:
+        return np.int32
+    return np.int16 if (qmax + 2) * step < 30000 else np.int32
+
+
+# v5e Mosaic rejects packed-int16 vector compares ("Target does not support
+# this comparison"); keep the narrow path off until a supported formulation
+# lands (see kernels/int16 notes).
+ENABLE_INT16 = False
 
 
 def _make_kernel(lab: int, hb: int, wc: int, scoring: Scoring):
     w = scoring.weight_matrix()
     groups = transition_groups(w)
-    match = np.int32(scoring.match)
-    mismatch = np.int32(scoring.mismatch)
     sop = scoring.s3_mode == "sop"
     qq = lab + hb + wc  # max sweep length for this bucket
+    dtype = score_dtype(scoring, qq)
+    match = dtype(scoring.match)
+    mismatch = dtype(scoring.mismatch)
 
     def kernel(lens_ref, askew_ref, bp_ref, cp_ref, zeros_ref, out_ref):
         from jax.experimental import pallas as pl
@@ -86,8 +104,14 @@ def _make_kernel(lab: int, hb: int, wc: int, scoring: Scoring):
         lc = lens_ref[2]
         qmax = la + lb + lc
 
-        j_grid = jax.lax.broadcasted_iota(jnp.int32, (hb, wc), 0)
-        k_grid = jax.lax.broadcasted_iota(jnp.int32, (hb, wc), 1)
+        # All plane-wide values (index grids, symbol planes, masks) use the
+        # score dtype so every i1 mask is born in that dtype's native tile
+        # layout -- Mosaic cannot relayout an (8,128) mask from an int32
+        # compare onto (16,128)-tiled int16 selects.
+        jdt = jnp.dtype(dtype)
+        # (hardware iota is 32-bit only; narrow afterwards)
+        j_grid = jax.lax.broadcasted_iota(jnp.int32, (hb, wc), 0).astype(jdt)
+        k_grid = jax.lax.broadcasted_iota(jnp.int32, (hb, wc), 1).astype(jdt)
         jk = j_grid + k_grid
         edge = (j_grid >= 1) & (k_grid >= 1)
 
@@ -106,6 +130,14 @@ def _make_kernel(lab: int, hb: int, wc: int, scoring: Scoring):
         # ("Invalid relayout ... replicated in destination").
         zero = zeros_ref[:]
 
+        def roll1(x, axis):
+            # Mosaic's rotate is 32-bit only on this libtpu; bounce the 8
+            # per-step rolls through int32 (wrapped-in values land in the
+            # masked row 0 / col 0, so exactness is unaffected).
+            if x.dtype == jnp.int16:
+                return pltpu.roll(x.astype(jnp.int32), 1, axis).astype(jnp.int16)
+            return pltpu.roll(x, 1, axis)
+
         def body(q, carry):
             p1, p2, p3 = carry  # each: tuple of 7 (hb, wc) planes
             # Position (j, k) of plane q needs A[q-j-k].  The host passes
@@ -118,8 +150,15 @@ def _make_kernel(lab: int, hb: int, wc: int, scoring: Scoring):
             win = askew_ref[pl.ds(base, hb + 8), :]
             # Rotate rows up by (start % 8); pltpu.roll requires a
             # non-negative shift, so express it as the positive complement.
+            # The dynamic rotate is 32-bit only; bounce narrow dtypes.
             residue = start % 8
-            ap = pltpu.roll(win, (hb + 8 - residue) % (hb + 8), 0)[0:hb, :]
+            shift = (hb + 8 - residue) % (hb + 8)
+            if jdt == jnp.int16:
+                ap = pltpu.roll(win.astype(jnp.int32), shift, 0).astype(jdt)[
+                    0:hb, :
+                ]
+            else:
+                ap = pltpu.roll(win, shift, 0)[0:hb, :]
             s_ab = jnp.where(ap == bp, match, mismatch)
             s_ac = jnp.where(ap == cp, match, mismatch)
             if sop:
@@ -127,31 +166,24 @@ def _make_kernel(lab: int, hb: int, wc: int, scoring: Scoring):
             else:
                 s3 = jnp.where(
                     ap == bp,
-                    jnp.where(bp == cp, 3 * match, (match + mismatch) * 2),
-                    3 * mismatch,
+                    jnp.where(bp == cp, dtype(3 * scoring.match),
+                              dtype((scoring.match + scoring.mismatch) * 2)),
+                    dtype(3 * scoring.mismatch),
                 )
             subs = (s3, 0, 0, 0, s_ab, s_bc, s_ac)
 
-            planes = (None, p1, p2, p3)
-            shifted = {}
-            for t in range(NUM_MATRICES):
-                dj, dk = SHIFTS[t]
-                key = (PLANE_DELTA[t], dj, dk)
-                if key not in shifted:
-                    src = planes[PLANE_DELTA[t]]
-                    if dj:
-                        src = tuple(_roll(x, 1, 0) for x in src)
-                    if dk:
-                        src = tuple(_roll(x, 1, 1) for x in src)
-                    shifted[key] = src
-            i_grid = q - jk
-            valid = (i_grid >= 1) & (i_grid <= la) & edge
-            new = []
-            for t in range(NUM_MATRICES):
-                pred = shifted[(PLANE_DELTA[t], SHIFTS[t][0], SHIFTS[t][1])]
-                cand = target_update(pred, groups[t], jnp.maximum) + subs[t]
-                new.append(jnp.where(valid, cand, 0))
-            return (tuple(new), p1, p2)
+            # Masking: i >= 1 keeps not-yet-reached cells at zero (they are
+            # the i=0 border face future planes read); j,k >= 1 are the
+            # other two zero faces (reference: src/TriAlign_1cyc.v:157-181).
+            # No i <= la term: cells past the A end are never predecessors
+            # of valid cells (predecessor i is i or i-1) and the max-plus
+            # combine with non-positive weights keeps them bounded.
+            valid = (jk <= (q - 1).astype(jdt)) & edge
+            cands = fused_plane_update(
+                (None, p1, p2, p3), subs, groups, jnp.maximum, roll1
+            )
+            new = tuple(jnp.where(valid, cand, zero) for cand in cands)
+            return (new, p1, p2)
 
         zeros7 = (zero,) * NUM_MATRICES
         p_final, _, _ = jax.lax.fori_loop(
@@ -160,11 +192,13 @@ def _make_kernel(lab: int, hb: int, wc: int, scoring: Scoring):
 
         # Extract the 7 matrix values at (la, lb, lc): plane qmax, position
         # (lb, lc) -- mask-and-reduce avoids dynamic sublane/lane slicing.
-        cellmask = (j_grid == lb) & (k_grid == lc)
+        cellmask = (j_grid == lb.astype(jdt)) & (k_grid == lc.astype(jdt))
         for t in range(NUM_MATRICES):
-            out_ref[t, 0] = jnp.sum(jnp.where(cellmask, p_final[t], 0))
+            out_ref[t, 0] = jnp.sum(
+                jnp.where(cellmask, p_final[t], zero).astype(jnp.int32)
+            )
 
-    return kernel, qq
+    return kernel, qq, dtype
 
 
 def _build_planes(a_ext, b_full, c_full, lab, hb, wc):
@@ -204,7 +238,12 @@ def _run(lens, askew, bp, cp, lab, hb, wc, scoring, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    kernel, qq = _make_kernel(lab, hb, wc, scoring)
+    kernel, qq, dtype = _make_kernel(lab, hb, wc, scoring)
+    # Symbol planes travel in the score dtype so every in-kernel compare
+    # produces masks in that dtype's native tile layout.
+    askew = askew.astype(dtype)
+    bp = bp.astype(dtype)
+    cp = cp.astype(dtype)
     flops_per_cell = 120
     return pl.pallas_call(
         kernel,
@@ -226,7 +265,7 @@ def _run(lens, askew, bp, cp, lab, hb, wc, scoring, interpret):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(lens, askew, bp, cp, jnp.zeros((hb, wc), jnp.int32))
+    )(lens, askew, bp, cp, jnp.zeros((hb, wc), dtype))
 
 
 def prepare_compact(a, b, c, lab, hb, wc):
