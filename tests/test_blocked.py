@@ -15,13 +15,16 @@ from tests.conftest import random_triplet
 
 
 def test_plan_dims_geometry():
+    from trialign.kernels.blocked import SOFF, UNB
+
     hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, s1, s2 = plan_dims(300, 300, 300)
-    assert (hb, wc) == (128, 128)
-    assert n_jb == 3 and n_kb == 3  # ceil(300/127)
-    assert qqb == lab + 127 + 127
-    # Face rows must cover every (q + offset) index the kernel touches.
-    assert s1 >= qqb + (n_kb - 1) * 127 + 1
-    assert s2 >= qqb + (n_jb - 1) * 127 + 1
+    assert (hb, wc) == (256, 256)
+    assert n_jb == 2 and n_kb == 2  # ceil(300/255)
+    assert qqb % UNB == 0 and qqb >= lab + 255 + 255
+    # Face rows must cover every (q + offset + guard) index the kernel
+    # touches, including the last macro-step's full 8-row batch.
+    assert s1 >= qqb + (n_kb - 1) * 255 + SOFF + UNB
+    assert s2 >= qqb + (n_jb - 1) * 255 + SOFF + UNB
 
 
 def test_blocked_multiblock_j(rng):

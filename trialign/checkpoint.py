@@ -114,8 +114,8 @@ class CheckpointedAligner:
         self.lens = np.array([len(a), len(b), len(c)], dtype=np.int32)
 
         self.next_idx = 0
-        self.srf = np.zeros((n_kb, s1, 8, wc), dtype=np.int32)
-        self.cf = np.zeros((n_jb, s2, 8, hb), dtype=np.int32)
+        self.srf = np.zeros((n_kb, 8 * s1, wc), dtype=np.int32)
+        self.cf = np.zeros((n_jb, 8 * s2, hb), dtype=np.int32)
         self.res = np.zeros((8, 1), dtype=np.int32)
 
     # ------------------------------------------------------------------

@@ -43,7 +43,7 @@ def _plan(la, lb, lc, ndev, hb, wc):
     static_argnames=("dims", "n_kb_local", "ndev", "scoring", "interpret", "mesh"),
 )
 def _halo_core(lens, a_ext, b_arr, c_arr, dims, n_kb_local, ndev, scoring, interpret, mesh):
-    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, s1, s2 = dims
+    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2 = dims
     tb, tc = hb - 1, wc - 1
     la, lb, lc = lens[0], lens[1], lens[2]
     block_call = BK.make_block_call(dims, n_kb_local, 1, scoring, interpret)
@@ -58,8 +58,8 @@ def _halo_core(lens, a_ext, b_arr, c_arr, dims, n_kb_local, ndev, scoring, inter
         askew = BK._build_askew_blocked(a_ext, qqb, hb, wc)
         zeros = jnp.zeros((hb, wc), jnp.int32)
 
-        srf0 = jnp.zeros((n_kb_local, s1, 8, wc), jnp.int32)
-        cf0 = jnp.zeros((1, s2, 8, hb), jnp.int32)
+        srf0 = jnp.zeros((n_kb_local, 8 * sr1, wc), jnp.int32)
+        cf0 = jnp.zeros((1, 8 * sr2, hb), jnp.int32)
         res0 = jnp.zeros((8, 1), jnp.int32)
 
         def row_sweep(jb, srf, cf, res):
@@ -155,7 +155,7 @@ def align_sharded_triplet(
         interpret = jax.default_backend() != "tpu"
     hb, wc = block_shape if block_shape else (BK.DEF_HB, BK.DEF_WC)
     dims, n_kb_local = _plan(la, lb, lc, ndev, hb, wc)
-    _, _, lab, n_jb, n_kb, qqb, kdim, jdim, s1, s2 = dims
+    _, _, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2 = dims
 
     a_ext = np.full(lab + 2, PAD_SYMBOL, dtype=np.int32)
     a_ext[1 : la + 1] = a

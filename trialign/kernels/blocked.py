@@ -5,21 +5,22 @@ cut into |A| x n x n pillars processed block-by-block, exchanging boundary
 faces through on-chip SRAMs (reference: pic/Memory.png,
 src/TriAlign_1cyc.v:127-140, 288-340).  Here each pillar is a Pallas kernel
 invocation whose working planes live in VMEM, and the boundary faces live in
-HBM in *skewed* layout -- face row s = i + k (row face) / s = i + j (column
-face) -- so that every wavefront step reads and writes exactly one contiguous
-face row by async DMA.
+HBM in *skewed* layout -- face row s = q - tb + k0 (bottom-row face) /
+s = q - tc + j0 (right-column face) -- so the faces a sweep step needs are
+contiguous rows.
 
-Faces are stored as per-block-column (row face) / per-block-row (column
-face) slabs, so every DMA moves one full (8, wc) / (hb, 8) face row of the
-block's own slab -- no partial-width transfers, no tiling-alignment hazards,
-and the diagonal-corner cell rides along for free: the staged bottom row
-includes the halo position kl=0, whose value is exactly the corner the
-diagonally-next block needs (the role the reference's double-buffered z-SRAM
-banks play, src/TriAlign_1cyc.v:127-131).
+v2 design: the q-loop runs in macro-steps of UNB=8 planes.  Per macro-step:
+one read DMA per face brings 8 face rows (a (64, wc) flat slice) into a
+double-buffered VMEM ring; the column face is transposed once per macro
+(not per plane); the symbol window is loaded once and each unrolled step
+takes a static row slice (qqb is a multiple of UNB so the sublane residue
+is compile-time); face writes stage into (64, wc)/(hb, 64) scratch and ship
+as one DMA per face per macro.  Face-row index 0..SOFF-1 is a guard band so
+ramp-up writes (q <= tb - k0) can land unconditionally without branches.
 
-Default block: (Tb, Tc) = (127, 127) cells -> a (128, 128) int32 plane per
-matrix with halo row 0 / column 0.  Tests on CPU use smaller blocks to keep
-interpret mode tractable.
+Default block: (hb, wc) = (256, 256) -> Tb = Tc = 255 cells plus halo row
+0 / column 0; tall pillars keep the wavefront ramp overhead at
+(lab + tb + tc) / lab instead of the cube sweep's 3x.
 """
 
 from __future__ import annotations
@@ -37,13 +38,10 @@ from trialign.kernels.plane_math import (
     transition_groups,
 )
 
-DEF_HB = 128  # default plane rows (j): halo + Tb cells
-DEF_WC = 128  # default plane cols (k): halo + Tc cells
-# (128,128) measured fastest at 1k^3 on v5e: padding waste dominates the
-# current per-slot cost; revisit when per-step DMA overhead is profiled out.
-NRD = 8  # read-prefetch ring slots
-DEPTH = 4  # read-prefetch distance (planes)
-NWR = 2  # write ring slots
+DEF_HB = 256  # default plane rows (j): halo + Tb cells
+DEF_WC = 256  # default plane cols (k): halo + Tc cells
+UNB = 8  # q-loop macro-step (planes per iteration); sublane tile
+SOFF = 8  # face-row guard band (absorbs ramp-up writes)
 
 
 def _round_up(x, m):
@@ -52,30 +50,33 @@ def _round_up(x, m):
 
 def plan_dims(la: int, lb: int, lc: int, hb: int = DEF_HB, wc: int = DEF_WC) -> Tuple:
     """Static geometry for a blocked alignment, as a hashable tuple:
-    (hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, s1, s2)."""
+    (hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2).
+
+    sr1/sr2 are FACE-ROW counts (flat slab rows = 8 * sr)."""
     tb, tc = hb - 1, wc - 1
     lab = _round_up(max(la, 16), 16)
     n_jb = max(1, -(-lb // tb))
     n_kb = max(1, -(-lc // tc))
-    qqb = lab + tb + tc  # planes per block sweep
+    qqb = _round_up(lab + tb + tc, UNB)  # planes per block sweep (padded)
     kdim = _round_up(n_kb * tc + wc + 1, 128)  # B/C symbol array extents
     jdim = _round_up(n_jb * tb + hb + 1, 8)
-    s1 = _round_up(qqb + (n_kb - 1) * tc + 2, 8)  # row-face rows: q + k0
-    s2 = _round_up(qqb + (n_jb - 1) * tb + 2, 8)  # col-face rows: q + j0
-    return (hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, s1, s2)
+    sr1 = qqb + (n_kb - 1) * tc + SOFF + UNB + 2  # row-face rows: q + k0 + SOFF
+    sr2 = qqb + (n_jb - 1) * tb + SOFF + UNB + 2  # col-face rows: q + j0 + SOFF
+    return (hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2)
 
 
 def _make_block_kernel(dims: Tuple, scoring: Scoring):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, s1, s2 = dims
+    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2 = dims
     tb, tc = hb - 1, wc - 1
     w = scoring.weight_matrix()
     groups = transition_groups(w)
     match = np.int32(scoring.match)
     mismatch = np.int32(scoring.mismatch)
     sop = scoring.s3_mode == "sop"
+    nmac = qqb // UNB
 
     def kernel(
         scal_ref,  # (8,): la, j0, k0, jb, kb, qstar, jlstar, klstar
@@ -83,19 +84,19 @@ def _make_block_kernel(dims: Tuple, scoring: Scoring):
         bp_ref,  # (hb, wc) VMEM: B[j0+jl]
         cp_ref,  # (hb, wc) VMEM: C[k0+kl]
         zeros_ref,  # (hb, wc) VMEM layout anchor
-        srf_in,  # (n_kb, s1, 8, wc) HBM slabs (aliased with srf_out)
-        cf_in,  # (n_jb, s2, 8, hb) HBM slabs (aliased with cf_out)
+        srf_in,  # (n_kb, 8*sr1, wc) HBM flat slabs (aliased with srf_out)
+        cf_in,  # (n_jb, 8*sr2, hb) HBM flat slabs (aliased with cf_out)
         srf_out,
         cf_out,
         out_ref,  # (8, 1) SMEM
-        srf_buf,  # (NRD, 8, wc) VMEM scratch
-        cf_buf,  # (NRD, 8, hb) VMEM scratch (matrix-major; transposed in-kernel)
-        srf_st,  # (NWR, 8, wc) VMEM staging
-        cf_st,  # (NWR, 8, hb) VMEM staging
-        rd_sem,  # DMA sems (2, NRD)
-        wr_sem,  # DMA sems (2, NWR)
+        rb_r,  # (2, 64, wc) VMEM: read ring, row face (8 face rows/macro)
+        rb_c,  # (2, 64, hb) VMEM: read ring, col face (matrix-major)
+        st_r,  # (2, 64, wc) VMEM: write staging, row face
+        st_c,  # (2, hb, 64) VMEM: write staging, col face (pre-transpose)
+        st_ct,  # (2, 64, hb) VMEM: col face transposed for DMA
+        rd_sem,  # DMA sems (2, 2): [face, slot]
+        wr_sem,  # DMA sems (2, 2)
     ):
-        la = scal_ref[0]
         j0 = scal_ref[1]
         k0 = scal_ref[2]
         jb = scal_ref[3]
@@ -112,148 +113,141 @@ def _make_block_kernel(dims: Tuple, scoring: Scoring):
         cp = cp_ref[:]
         s_bc = jnp.where(bp == cp, match, mismatch)
         zero = zeros_ref[:]
+        cellmask = (jl == jlstar) & (kl == klstar)
 
-        def srf_rd_dma(q, slot):
+        def rd_row_dma(it, slot):
+            # face rows q+k0+SOFF for q in [8it+1, 8it+8] -> 64 flat rows.
+            fr = 8 * (UNB * it + 1 + k0 + SOFF)
             return pltpu.make_async_copy(
-                srf_in.at[kb, q + k0],
-                srf_buf.at[slot],
-                rd_sem.at[0, slot],
+                srf_in.at[kb, pl.ds(fr, 64)], rb_r.at[slot], rd_sem.at[0, slot]
             )
 
-        def cf_rd_dma(q, slot):
+        def rd_col_dma(it, slot):
+            fr = 8 * (UNB * it + 1 + j0 + SOFF)
             return pltpu.make_async_copy(
-                cf_in.at[jb, q + j0],
-                cf_buf.at[slot],
-                rd_sem.at[1, slot],
+                cf_in.at[jb, pl.ds(fr, 64)], rb_c.at[slot], rd_sem.at[1, slot]
             )
 
-        def srf_wr_dma(q, slot):
-            # Bottom row (jl=tb): cells (i, j0+tb, k0+kl) for kl in [1, tc]
-            # plus the installed halo at kl=0 (the corner value the next
-            # block row needs); face row s = q - tb + k0 of slab kb.
+        def wr_row_dma(it, slot):
+            # face rows q - tb + k0 + SOFF; macros whose rows are all in the
+            # guard band clamp to 0 (guard rows are never read).
+            fr = 8 * jnp.maximum(UNB * it + 1 - tb + k0 + SOFF, 0)
             return pltpu.make_async_copy(
-                srf_st.at[slot],
-                srf_out.at[kb, q - tb + k0],
-                wr_sem.at[0, slot],
+                st_r.at[slot], srf_out.at[kb, pl.ds(fr, 64)], wr_sem.at[0, slot]
             )
 
-        def cf_wr_dma(q, slot):
-            # Right column (kl=tc) incl the jl=0 halo; face row
-            # s = q - tc + j0 of slab jb.
+        def wr_col_dma(it, slot):
+            fr = 8 * jnp.maximum(UNB * it + 1 - tc + j0 + SOFF, 0)
             return pltpu.make_async_copy(
-                cf_st.at[slot],
-                cf_out.at[jb, q - tc + j0],
-                wr_sem.at[1, slot],
+                st_ct.at[slot], cf_out.at[jb, pl.ds(fr, 64)], wr_sem.at[1, slot]
             )
 
         # Warm up the read pipeline.
-        for q0 in range(1, DEPTH + 1):
-            srf_rd_dma(q0, q0 % NRD).start()
-            cf_rd_dma(q0, q0 % NRD).start()
+        rd_row_dma(0, 0).start()
+        rd_col_dma(0, 0).start()
 
-        def body(q, carry):
+        def roll1(x, axis):
+            return pltpu.roll(x, 1, axis)
+
+        def macro(it, carry):
             p1, p2, p3 = carry
-            slot = q % NRD
-            srf_rd_dma(q, slot).wait()
-            cf_rd_dma(q, slot).wait()
-            halo_row = srf_buf[slot]  # (8, wc): matrix-major row face
-            # Col face arrives matrix-major (8, hb) -- HBM minor dims must be
-            # 128-aligned -- so transpose once per plane to (hb, 8).
-            halo_col = jnp.swapaxes(cf_buf[slot], 0, 1)
+            slot = jax.lax.rem(it, 2)
 
-            @pl.when(q + DEPTH <= qqb)
+            # Finish the writes that used this slot two macros ago before
+            # restaging into it.
+            @pl.when(it >= 2)
             def _():
-                nslot = (q + DEPTH) % NRD
-                srf_rd_dma(q + DEPTH, nslot).start()
-                cf_rd_dma(q + DEPTH, nslot).start()
+                wr_row_dma(it - 2, slot).wait()
+                wr_col_dma(it - 2, slot).wait()
 
-            # Symbol plane: ap[jl, kl] = A[q - jl - kl] via the skewed array,
-            # loaded as an 8-aligned window + sublane rotate.
-            start = qqb - q
-            base = pl.multiple_of((start // 8) * 8, 8)
+            rd_row_dma(it, slot).wait()
+            rd_col_dma(it, slot).wait()
+
+            @pl.when(it + 1 < nmac)
+            def _():
+                nslot = jax.lax.rem(it + 1, 2)
+                rd_row_dma(it + 1, nslot).start()
+                rd_col_dma(it + 1, nslot).start()
+
+            rowbuf = rb_r[slot]  # (64, wc): rows 8u+t
+            # Column face arrives matrix-major (64, hb); one transpose per
+            # macro gives (hb, 64) with per-step static lane slices.
+            colbuf = jnp.swapaxes(rb_c[slot], 0, 1)  # (hb, 64)
+
+            # Shared 8-aligned symbol window for the UNB steps.
+            base = pl.multiple_of(qqb - UNB * it - UNB, UNB)
             win = askew_ref[pl.ds(base, hb + 8), :]
-            residue = start % 8
-            ap = pltpu.roll(win, (hb + 8 - residue) % (hb + 8), 0)[0:hb, :]
 
-            s_ab = jnp.where(ap == bp, match, mismatch)
-            s_ac = jnp.where(ap == cp, match, mismatch)
-            if sop:
-                s3 = s_ab + s_ac + s_bc
-            else:
-                s3 = jnp.where(
-                    ap == bp,
-                    jnp.where(bp == cp, 3 * match, (match + mismatch) * 2),
-                    3 * mismatch,
+            for u in range(UNB):
+                q = UNB * it + u + 1
+                ap = win[UNB - 1 - u : UNB - 1 - u + hb, :]
+                s_ab = jnp.where(ap == bp, match, mismatch)
+                s_ac = jnp.where(ap == cp, match, mismatch)
+                if sop:
+                    s3 = s_ab + s_ac + s_bc
+                else:
+                    s3 = jnp.where(
+                        ap == bp,
+                        jnp.where(
+                            bp == cp,
+                            np.int32(3 * scoring.match),
+                            np.int32((scoring.match + scoring.mismatch) * 2),
+                        ),
+                        np.int32(3 * scoring.mismatch),
+                    )
+                subs = (s3, 0, 0, 0, s_ab, s_bc, s_ac)
+
+                valid = (jk <= q - 1) & edge
+                cands = fused_plane_update(
+                    (None, p1, p2, p3), subs, groups, jnp.maximum, roll1
                 )
-            subs = (s3, 0, 0, 0, s_ab, s_bc, s_ac)
-
-            i_grid = q - jk
-            valid = (i_grid >= 1) & (i_grid <= la) & edge
-            cands = fused_plane_update(
-                (None, p1, p2, p3),
-                subs,
-                groups,
-                jnp.maximum,
-                lambda x, axis: pltpu.roll(x, 1, axis),
-            )
-            new = []
-            for t in range(NUM_MATRICES):
-                cand = jnp.where(valid, cands[t], 0)
-                # Halo install: column 0 from the col face, then row 0 from
-                # the row face (row wins at [0,0], where the banked face
-                # carries the diagonal-corner value).
-                ccol = jnp.broadcast_to(halo_col[:, t : t + 1], (hb, wc))
-                cand = jnp.where(kl == 0, ccol, cand)
-                crow = jnp.broadcast_to(halo_row[t : t + 1, :], (hb, wc))
-                cand = jnp.where(jl == 0, crow, cand)
-                new.append(cand)
-
-            # Face writes (guarded: the far edges exist only once the
-            # wavefront reaches them).
-            wslot = q % NWR
-
-            @pl.when(q > tb)
-            def _():
-                @pl.when(q > tb + NWR)
-                def _():
-                    srf_wr_dma(q - NWR, wslot).wait()
+                new = []
                 for t in range(NUM_MATRICES):
-                    srf_st[wslot, t : t + 1, :] = new[t][tb : tb + 1, :]
-                srf_wr_dma(q, wslot).start()
+                    cand = jnp.where(valid, cands[t], zero)
+                    # Halo install: column 0 from the col face, then row 0
+                    # from the row face (row wins at [0,0], where the staged
+                    # face carries the diagonal-corner value).
+                    ccol = jnp.broadcast_to(
+                        colbuf[:, 8 * u + t : 8 * u + t + 1], (hb, wc)
+                    )
+                    cand = jnp.where(kl == 0, ccol, cand)
+                    crow = jnp.broadcast_to(
+                        rowbuf[8 * u + t : 8 * u + t + 1, :], (hb, wc)
+                    )
+                    cand = jnp.where(jl == 0, crow, cand)
+                    new.append(cand)
 
-            @pl.when(q > tc)
-            def _():
-                @pl.when(q > tc + NWR)
+                    # Stage faces: bottom row (jl=tb) incl. the kl=0 corner;
+                    # right column (kl=tc) incl. the jl=0 halo.
+                    st_r[slot, 8 * u + t, :] = cand[tb, :]
+                    st_c[slot, :, 8 * u + t] = cand[:, tc]
+
+                # Final-cell capture for the block containing (lb, lc).
+                @pl.when(q == qstar)
                 def _():
-                    cf_wr_dma(q - NWR, wslot).wait()
-                cols = jnp.concatenate(
-                    [new[t][:, tc : tc + 1] for t in range(NUM_MATRICES)]
-                    + [new[0][:, tc : tc + 1]],
-                    axis=1,
-                )  # (hb, 8); slot 7 is padding
-                cf_st[wslot] = jnp.swapaxes(cols, 0, 1)
-                cf_wr_dma(q, wslot).start()
+                    for t in range(NUM_MATRICES):
+                        out_ref[t, 0] = jnp.sum(
+                            jnp.where(cellmask, new[t], 0)
+                        )
 
-            # Final-cell capture for the block containing (lb, lc).
-            @pl.when(q == qstar)
-            def _():
-                cellmask = (jl == jlstar) & (kl == klstar)
-                for t in range(NUM_MATRICES):
-                    out_ref[t, 0] = jnp.sum(jnp.where(cellmask, new[t], 0))
+                p1, p2, p3 = tuple(new), p1, p2
 
-            return (tuple(new), p1, p2)
+            st_ct[slot] = jnp.swapaxes(st_c[slot], 0, 1)
+            wr_row_dma(it, slot).start()
+            wr_col_dma(it, slot).start()
+            return (p1, p2, p3)
 
         zeros7 = (zero,) * NUM_MATRICES
-        jax.lax.fori_loop(1, qqb + 1, body, (zeros7, zeros7, zeros7))
+        jax.lax.fori_loop(0, nmac, macro, (zeros7, zeros7, zeros7))
 
         # Drain outstanding writes so the aliased HBM faces are complete
         # before the next block reads them.
-        for dq in range(NWR):
-            q_last = qqb - dq
-            if q_last > tb:
-                srf_wr_dma(q_last, q_last % NWR).wait()
-            if q_last > tc:
-                cf_wr_dma(q_last, q_last % NWR).wait()
+        for back in (2, 1):
+            it_last = nmac - back
+            if it_last >= 0:
+                slot = it_last % 2
+                wr_row_dma(it_last, slot).wait()
+                wr_col_dma(it_last, slot).wait()
 
     return kernel
 
@@ -277,7 +271,7 @@ def make_block_call(dims: Tuple, n_srf_slabs: int, n_cf_slabs: int, scoring: Sco
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, s1, s2 = dims
+    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2 = dims
     kernel = _make_block_kernel(dims, scoring)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -297,12 +291,13 @@ def make_block_call(dims: Tuple, n_srf_slabs: int, n_cf_slabs: int, scoring: Sco
             pl.BlockSpec(memory_space=pltpu.SMEM),  # out
         ),
         scratch_shapes=[
-            pltpu.VMEM((NRD, 8, wc), jnp.int32),
-            pltpu.VMEM((NRD, 8, hb), jnp.int32),
-            pltpu.VMEM((NWR, 8, wc), jnp.int32),
-            pltpu.VMEM((NWR, 8, hb), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, NRD)),
-            pltpu.SemaphoreType.DMA((2, NWR)),
+            pltpu.VMEM((2, 64, wc), jnp.int32),  # rb_r
+            pltpu.VMEM((2, 64, hb), jnp.int32),  # rb_c
+            pltpu.VMEM((2, 64, wc), jnp.int32),  # st_r
+            pltpu.VMEM((2, hb, 64), jnp.int32),  # st_c
+            pltpu.VMEM((2, 64, hb), jnp.int32),  # st_ct
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
 
@@ -310,8 +305,8 @@ def make_block_call(dims: Tuple, n_srf_slabs: int, n_cf_slabs: int, scoring: Sco
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((n_srf_slabs, s1, 8, wc), jnp.int32),
-            jax.ShapeDtypeStruct((n_cf_slabs, s2, 8, hb), jnp.int32),
+            jax.ShapeDtypeStruct((n_srf_slabs, 8 * sr1, wc), jnp.int32),
+            jax.ShapeDtypeStruct((n_cf_slabs, 8 * sr2, hb), jnp.int32),
             jax.ShapeDtypeStruct((8, 1), jnp.int32),
         ),
         input_output_aliases={5: 0, 6: 1},
@@ -322,7 +317,7 @@ def make_block_call(dims: Tuple, n_srf_slabs: int, n_cf_slabs: int, scoring: Sco
 
 @functools.partial(jax.jit, static_argnames=("dims", "scoring", "interpret"))
 def _blocked_core(lens, a_ext, b_arr, c_arr, dims, scoring, interpret):
-    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, s1, s2 = dims
+    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2 = dims
     tb, tc = hb - 1, wc - 1
     la, lb, lc = lens[0], lens[1], lens[2]
     askew = _build_askew_blocked(a_ext, qqb, hb, wc)
@@ -336,8 +331,8 @@ def _blocked_core(lens, a_ext, b_arr, c_arr, dims, scoring, interpret):
     klstar = lc - kbstar * tc
     target_idx = jbstar * n_kb + kbstar
 
-    srf0 = jnp.zeros((n_kb, s1, 8, wc), jnp.int32)
-    cf0 = jnp.zeros((n_jb, s2, 8, hb), jnp.int32)
+    srf0 = jnp.zeros((n_kb, 8 * sr1, wc), jnp.int32)
+    cf0 = jnp.zeros((n_jb, 8 * sr2, hb), jnp.int32)
     res0 = jnp.zeros((8, 1), jnp.int32)
 
     def scan_body(carry, idx):

@@ -37,6 +37,13 @@ from trialign.kernels.plane_math import (
 SUBLANE = 8
 LANE = 128
 
+# q-loop unroll factor.  Amortizes per-iteration loop overhead, shares one
+# aligned symbol-window load across the unrolled steps, and turns the
+# window's sublane residue into a compile-time slice offset (qq is always a
+# multiple of UNROLL).  Must divide every bucket's qq: lab, hb, wc are all
+# multiples of 8.
+UNROLL = 8
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -138,27 +145,18 @@ def _make_kernel(lab: int, hb: int, wc: int, scoring: Scoring):
                 return pltpu.roll(x.astype(jnp.int32), 1, axis).astype(jnp.int16)
             return pltpu.roll(x, 1, axis)
 
-        def body(q, carry):
-            p1, p2, p3 = carry  # each: tuple of 7 (hb, wc) planes
-            # Position (j, k) of plane q needs A[q-j-k].  The host passes
-            # ASKREV[r, k] = A[(QQ - r) - k], so the whole symbol plane is
-            # the row window starting at r = QQ - q.  Vector loads need an
-            # 8-aligned sublane start, so load the surrounding aligned
-            # window and rotate the residue away.
-            start = qq - q
-            base = pl.multiple_of((start // 8) * 8, 8)
-            win = askew_ref[pl.ds(base, hb + 8), :]
-            # Rotate rows up by (start % 8); pltpu.roll requires a
-            # non-negative shift, so express it as the positive complement.
-            # The dynamic rotate is 32-bit only; bounce narrow dtypes.
-            residue = start % 8
-            shift = (hb + 8 - residue) % (hb + 8)
-            if jdt == jnp.int16:
-                ap = pltpu.roll(win.astype(jnp.int32), shift, 0).astype(jdt)[
-                    0:hb, :
-                ]
-            else:
-                ap = pltpu.roll(win, shift, 0)[0:hb, :]
+        # Final-cell mask: the 7 matrix values at (la, lb, lc) live in plane
+        # qmax at position (lb, lc); captured in-body when the sweep passes
+        # qmax (mask-and-reduce avoids dynamic sublane/lane slicing).
+        cellmask = (j_grid == lb.astype(jdt)) & (k_grid == lc.astype(jdt))
+
+        def step(q, win, u, p1, p2, p3):
+            """One plane update.  q = UNROLL*it + u + 1; win is the shared
+            (hb+8, wc) window of the skewed symbol array for this iteration,
+            and the step's symbol plane is the static row slice at offset
+            UNROLL-1-u (qq is a multiple of UNROLL, so the residue of
+            qq - q modulo the sublane tile is a compile-time constant)."""
+            ap = win[UNROLL - 1 - u : UNROLL - 1 - u + hb, :]
             s_ab = jnp.where(ap == bp, match, mismatch)
             s_ac = jnp.where(ap == cp, match, mismatch)
             if sop:
@@ -183,20 +181,35 @@ def _make_kernel(lab: int, hb: int, wc: int, scoring: Scoring):
                 (None, p1, p2, p3), subs, groups, jnp.maximum, roll1
             )
             new = tuple(jnp.where(valid, cand, zero) for cand in cands)
-            return (new, p1, p2)
+
+            # Capture the answer as the sweep passes plane qmax.  (The loop
+            # runs to the static bucket bound qq; planes past qmax never
+            # feed valid cells, so overrunning is harmless.)
+            @pl.when(q == qmax)
+            def _():
+                for t in range(NUM_MATRICES):
+                    out_ref[t, 0] = jnp.sum(
+                        jnp.where(cellmask, new[t], zero).astype(jnp.int32)
+                    )
+
+            return new
+
+        def body(it, carry):
+            p1, p2, p3 = carry
+            # All UNROLL steps of this iteration read the same 8-aligned
+            # symbol window: base = qq - UNROLL*it - UNROLL.
+            base = pl.multiple_of(qq - UNROLL * it - UNROLL, UNROLL)
+            win = askew_ref[pl.ds(base, hb + 8), :]
+            for u in range(UNROLL):
+                q = UNROLL * it + u + 1
+                new = step(q, win, u, p1, p2, p3)
+                p1, p2, p3 = new, p1, p2
+            return (p1, p2, p3)
 
         zeros7 = (zero,) * NUM_MATRICES
-        p_final, _, _ = jax.lax.fori_loop(
-            1, qmax + 1, body, (zeros7, zeros7, zeros7)
+        jax.lax.fori_loop(
+            0, qq // UNROLL, body, (zeros7, zeros7, zeros7)
         )
-
-        # Extract the 7 matrix values at (la, lb, lc): plane qmax, position
-        # (lb, lc) -- mask-and-reduce avoids dynamic sublane/lane slicing.
-        cellmask = (j_grid == lb.astype(jdt)) & (k_grid == lc.astype(jdt))
-        for t in range(NUM_MATRICES):
-            out_ref[t, 0] = jnp.sum(
-                jnp.where(cellmask, p_final[t], zero).astype(jnp.int32)
-            )
 
     return kernel, qq, dtype
 
