@@ -21,10 +21,10 @@ def test_plan_dims_geometry():
     assert (hb, wc) == (256, 256)
     assert n_jb == 2 and n_kb == 2  # ceil(300/255)
     assert qqb % UNB == 0 and qqb >= lab + 255 + 255
-    # Face rows must cover every (q + offset + guard) index the kernel
-    # touches, including the last macro-step's full 8-row batch.
-    assert s1 >= qqb + (n_kb - 1) * 255 + SOFF + UNB
-    assert s2 >= qqb + (n_jb - 1) * 255 + SOFF + UNB
+    # Face rows are slab-local (q + guard); must cover the last macro-step's
+    # full 8-row batch.
+    assert s1 >= qqb + SOFF + UNB
+    assert s2 >= qqb + SOFF + UNB
 
 
 def test_blocked_multiblock_j(rng):
