@@ -83,7 +83,7 @@ def bench_blocked(n, repeats, scoring):
     from trialign.kernels import blocked as BK
 
     rng = np.random.default_rng(3)
-    dims = BK.plan_dims(n, n, n)
+    dims = BK.plan_dims(n, n, n, *BK.choose_block_shape(n, n, n))
     hb, wc, lab = dims[0], dims[1], dims[2]
     kdim, jdim = dims[6], dims[7]
     b = rng.integers(0, 4, size=n).astype(np.uint8)

@@ -115,7 +115,7 @@ class CheckpointedAligner:
 
         self.next_idx = 0
         self.srf = np.zeros((n_kb, 8 * s1, wc), dtype=np.int32)
-        self.cf = np.zeros((n_jb, 8 * s2, hb), dtype=np.int32)
+        self.cf = np.zeros((n_jb, 8 * s2, ((hb + 127) // 128) * 128), dtype=np.int32)
         self.res = np.zeros((8, 1), dtype=np.int32)
 
     # ------------------------------------------------------------------

@@ -59,7 +59,7 @@ def _halo_core(lens, a_ext, b_arr, c_arr, dims, n_kb_local, ndev, scoring, inter
         zeros = jnp.zeros((hb, wc), jnp.int32)
 
         srf0 = jnp.zeros((n_kb_local, 8 * sr1, wc), jnp.int32)
-        cf0 = jnp.zeros((1, 8 * sr2, hb), jnp.int32)
+        cf0 = jnp.zeros((1, 8 * sr2, ((hb + 127) // 128) * 128), jnp.int32)
         res0 = jnp.zeros((8, 1), jnp.int32)
 
         def row_sweep(jb, srf, cf, res):

@@ -42,7 +42,7 @@ import numpy as np
 
 from trialign.config import NUM_MATRICES, PAD_SYMBOL, Scoring
 from trialign.kernels.plane_math import (
-    fused_plane_update,
+    fused_plane_update_m7,
     transition_groups,
 )
 
@@ -54,6 +54,37 @@ SOFF = 8  # face-row guard band (absorbs ramp-up writes)
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
+
+
+def choose_block_shape(la: int, lb: int, lc: int,
+                       vmem_budget: int = 13 * 2**20) -> Tuple[int, int]:
+    """Pick (hb, wc) minimizing total plane-work n_jb*n_kb*qqb*hb*wc under
+    the VMEM budget.  The sweep is ALU-bound, so total vector work is the
+    cost model; padding waste from ceil(lb/tb) is what this avoids (e.g.
+    1024/255 -> 5 block rows where 1024/263 -> 4)."""
+    best = None
+    lab = _round_up(max(la, 16), 16)
+    # Measured per-plane cost model on v5e: ~0.85 us fixed + ~28 ps/cell
+    # -> fixed term ~30k cell-equivalents.
+    FIXED_CELLS = 30000
+    for hb in range(128, 513, 8):
+        for wc in (128, 256, 384, 512):
+            tb, tc = hb - 1, wc - 1
+            n_jb = max(1, -(-lb // tb))
+            n_kb = max(1, -(-lc // tc))
+            qqb = _round_up(lab + tb + tc, UNB)
+            # ~24 plane-sized live values (16 carried + 7 in flight), the
+            # symbol window + askew residence, and the DMA rings.
+            vmem = (24 * hb * wc + (qqb + 2 * hb + 16) * wc
+                    + 6 * 64 * (hb + wc)) * 4
+            if vmem > vmem_budget:
+                continue
+            work = n_jb * n_kb * qqb * (hb * wc + FIXED_CELLS)
+            if best is None or work < best[0]:
+                best = (work, hb, wc)
+    if best is None:
+        return (DEF_HB, DEF_WC)
+    return (best[1], best[2])
 
 
 def plan_dims(la: int, lb: int, lc: int, hb: int = DEF_HB, wc: int = DEF_WC) -> Tuple:
@@ -103,6 +134,7 @@ def _block_sweep(
 
     hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2 = dims
     tb, tc = hb - 1, wc - 1
+    hbp = _round_up(hb, 128)  # cf slab minor dim (HBM DMA: 128-aligned)
     w = scoring.weight_matrix()
     groups = transition_groups(w)
     match = np.int32(scoring.match)
@@ -153,7 +185,7 @@ def _block_sweep(
         return pltpu.roll(x, 1, axis)
 
     def macro(it, carry):
-        p1, p2, p3 = carry
+        p1, p2, m7p2, m7p3 = carry
         slot = jax.lax.rem(it, 2)
 
         # Finish the writes that used this slot two macros ago before
@@ -200,18 +232,20 @@ def _block_sweep(
                 )
             subs = (s3, 0, 0, 0, s_ab, s_bc, s_ac)
 
-            valid = (jk <= q - 1) & edge
-            cands = fused_plane_update(
-                (None, p1, p2, p3), subs, groups, jnp.maximum, roll1
+            cands, m7p1 = fused_plane_update_m7(
+                p1, p2, m7p3, subs, groups, jnp.maximum, roll1
             )
             new = []
             for t in range(NUM_MATRICES):
+                # Not-yet-reached cells (i < 1) must stay 0 -- they are
+                # the zero borders future planes read.
+                valid = (jk <= q - 1) & edge
                 cand = jnp.where(valid, cands[t], zero)
                 # Halo install: column 0 from the col face, then row 0
                 # from the row face (row wins at [0,0], where the staged
                 # face carries the diagonal-corner value).
                 ccol = jnp.broadcast_to(
-                    colbuf[:, 8 * u + t : 8 * u + t + 1], (hb, wc)
+                    colbuf[0:hb, 8 * u + t : 8 * u + t + 1], (hb, wc)
                 )
                 cand = jnp.where(kl == 0, ccol, cand)
                 crow = jnp.broadcast_to(
@@ -231,15 +265,17 @@ def _block_sweep(
                 for t in range(NUM_MATRICES):
                     out_ref[t, 0] = jnp.sum(jnp.where(cellmask, new[t], 0))
 
-            p1, p2, p3 = tuple(new), p1, p2
+            # m7p1 (= max7 of the already-final plane q-1, from the raw
+            # group maxes) becomes max7(q-2) for the next step's carry.
+            p1, p2, m7p2, m7p3 = tuple(new), p1, m7p1, m7p2
 
-        st_ct[slot] = jnp.swapaxes(st_c[slot], 0, 1)
+        st_ct[slot, :, 0:hb] = jnp.swapaxes(st_c[slot], 0, 1)
         wr_row_dma(it, slot).start()
         wr_col_dma(it, slot).start()
-        return (p1, p2, p3)
+        return (p1, p2, m7p2, m7p3)
 
     zeros7 = (zero,) * NUM_MATRICES
-    jax.lax.fori_loop(0, nmac, macro, (zeros7, zeros7, zeros7))
+    jax.lax.fori_loop(0, nmac, macro, (zeros7, zeros7, zero, zero))
 
     # Drain outstanding writes so the HBM faces are complete before the
     # next block (same kernel next grid step, or next pallas_call) reads.
@@ -257,12 +293,13 @@ _SCRATCH = None  # built per (hb, wc) in the call builders
 def _scratch_shapes(hb, wc):
     from jax.experimental.pallas import tpu as pltpu
 
+    hbp = _round_up(hb, 128)
     return [
         pltpu.VMEM((2, 64, wc), jnp.int32),  # rb_r
-        pltpu.VMEM((2, 64, hb), jnp.int32),  # rb_c
+        pltpu.VMEM((2, 64, hbp), jnp.int32),  # rb_c
         pltpu.VMEM((2, 64, wc), jnp.int32),  # st_r
         pltpu.VMEM((2, hb, 64), jnp.int32),  # st_c
-        pltpu.VMEM((2, 64, hb), jnp.int32),  # st_ct
+        pltpu.VMEM((2, 64, hbp), jnp.int32),  # st_ct
         pltpu.SemaphoreType.DMA((2, 2)),
         pltpu.SemaphoreType.DMA((2, 2)),
     ]
@@ -317,7 +354,7 @@ def make_block_call(dims: Tuple, n_srf_slabs: int, n_cf_slabs: int, scoring: Sco
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_srf_slabs, 8 * sr1, wc), jnp.int32),
-            jax.ShapeDtypeStruct((n_cf_slabs, 8 * sr2, hb), jnp.int32),
+            jax.ShapeDtypeStruct((n_cf_slabs, 8 * sr2, _round_up(hb, 128)), jnp.int32),
             jax.ShapeDtypeStruct((8, 1), jnp.int32),
         ),
         input_output_aliases={5: 0, 6: 1},
@@ -370,7 +407,7 @@ def make_grid_call(dims: Tuple, scoring: Scoring, interpret: bool):
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_kb, 8 * sr1, wc), jnp.int32),
-            jax.ShapeDtypeStruct((n_jb, 8 * sr2, hb), jnp.int32),
+            jax.ShapeDtypeStruct((n_jb, 8 * sr2, _round_up(hb, 128)), jnp.int32),
             jax.ShapeDtypeStruct((8, 1), jnp.int32),
         ),
         input_output_aliases={5: 0, 6: 1},
@@ -407,7 +444,7 @@ def _blocked_core_scan(lens, a_ext, b_arr, c_arr, dims, scoring, interpret):
     target_idx = jbstar * n_kb + kbstar
 
     srf0 = jnp.zeros((n_kb, 8 * sr1, wc), jnp.int32)
-    cf0 = jnp.zeros((n_jb, 8 * sr2, hb), jnp.int32)
+    cf0 = jnp.zeros((n_jb, 8 * sr2, _round_up(hb, 128)), jnp.int32)
     res0 = jnp.zeros((8, 1), jnp.int32)
 
     def scan_body(carry, idx):
@@ -491,7 +528,7 @@ def _blocked_core(lens, a_ext, b_arr, c_arr, dims, scoring, interpret):
     cptab = jnp.broadcast_to(cwin[:, None, :], (n_kb, hb, wc))
 
     srf0 = jnp.zeros((n_kb, 8 * sr1, wc), jnp.int32)
-    cf0 = jnp.zeros((n_jb, 8 * sr2, hb), jnp.int32)
+    cf0 = jnp.zeros((n_jb, 8 * sr2, _round_up(hb, 128)), jnp.int32)
 
     grid_call = make_grid_call(dims, scoring, interpret)
     _, _, res = grid_call(scal_tab, askew, bptab, cptab, zeros, srf0, cf0)
@@ -518,7 +555,7 @@ def align_blocked(
         return 0
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    hb, wc = block_shape if block_shape else (DEF_HB, DEF_WC)
+    hb, wc = block_shape if block_shape else choose_block_shape(la, lb, lc)
     dims = plan_dims(la, lb, lc, hb, wc)
     _, _, lab, _, _, _, kdim, jdim, _, _ = dims
 

@@ -77,6 +77,61 @@ def target_update(pred_stack, groups_t, maximum):
     return acc
 
 
+def target_update_raw(pred_stack, groups_t, maximum):
+    """Like :func:`target_update` but also returns the per-group raw maxes
+    (pre-weight), whose overall max is the 7-way plane max -- every target's
+    groups partition all 7 sources."""
+    acc = None
+    raws = []
+    for weight, idxs in groups_t:
+        g = pred_stack[idxs[0]]
+        for s in idxs[1:]:
+            g = maximum(g, pred_stack[s])
+        raws.append(g)
+        term = g if weight == 0 else g + weight
+        acc = term if acc is None else maximum(acc, term)
+    return acc, raws
+
+
+def fused_plane_update_m7(p1, p2, m7p3, subs, groups, maximum, roll):
+    """All-target update with the M-matrix's predecessor plane carried as a
+    single 7-way max.
+
+    M's transition weights are identically zero (it consumes every axis, so
+    no gap charge; config.Scoring.weight_matrix row 0), hence
+    M(q) = shift(max7(plane q-3)) + S3.  Carrying max7 instead of the seven
+    raw generation-3 planes cuts the loop carry from 21 planes to 16 and
+    M's combine from 6 maxes to 0; the running max7 of the youngest
+    generation comes nearly free as the per-group raw maxes of any
+    generation-1 target already partition all 7 sources.
+
+    Returns (new_planes, m7_of_p1).
+    """
+    planes = (None, p1, p2)
+    new = []
+    m7p1 = None
+    for t in range(NUM_MATRICES):
+        if PLANE_DELTA[t] == 3:
+            cand = m7p3
+        elif PLANE_DELTA[t] == 1 and m7p1 is None:
+            cand, raws = target_update_raw(planes[1], groups[t], maximum)
+            m7p1 = raws[0]
+            for g in raws[1:]:
+                m7p1 = maximum(m7p1, g)
+        else:
+            cand = target_update(planes[PLANE_DELTA[t]], groups[t], maximum)
+        dj, dk = SHIFTS[t]
+        if dj:
+            cand = roll(cand, 0)
+        if dk:
+            cand = roll(cand, 1)
+        s = subs[t]
+        if not (isinstance(s, int) and s == 0):
+            cand = cand + s
+        new.append(cand)
+    return new, m7p1
+
+
 def fused_plane_update(planes, subs, groups, maximum, roll):
     """All-target plane update with shift-after-combine.
 

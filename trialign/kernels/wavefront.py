@@ -29,7 +29,7 @@ import numpy as np
 
 from trialign.config import NUM_MATRICES, PAD_SYMBOL, Scoring
 from trialign.kernels.plane_math import (
-    fused_plane_update,
+    fused_plane_update_m7,
     transition_groups,
 )
 
@@ -150,7 +150,7 @@ def _make_kernel(lab: int, hb: int, wc: int, scoring: Scoring):
         # qmax (mask-and-reduce avoids dynamic sublane/lane slicing).
         cellmask = (j_grid == lb.astype(jdt)) & (k_grid == lc.astype(jdt))
 
-        def step(q, win, u, p1, p2, p3):
+        def step(q, win, u, p1, p2, m7p2, m7p3):
             """One plane update.  q = UNROLL*it + u + 1; win is the shared
             (hb+8, wc) window of the skewed symbol array for this iteration,
             and the step's symbol plane is the static row slice at offset
@@ -177,8 +177,8 @@ def _make_kernel(lab: int, hb: int, wc: int, scoring: Scoring):
             # of valid cells (predecessor i is i or i-1) and the max-plus
             # combine with non-positive weights keeps them bounded.
             valid = (jk <= (q - 1).astype(jdt)) & edge
-            cands = fused_plane_update(
-                (None, p1, p2, p3), subs, groups, jnp.maximum, roll1
+            cands, m7p1 = fused_plane_update_m7(
+                p1, p2, m7p3, subs, groups, jnp.maximum, roll1
             )
             new = tuple(jnp.where(valid, cand, zero) for cand in cands)
 
@@ -192,23 +192,23 @@ def _make_kernel(lab: int, hb: int, wc: int, scoring: Scoring):
                         jnp.where(cellmask, new[t], zero).astype(jnp.int32)
                     )
 
-            return new
+            return new, m7p1
 
         def body(it, carry):
-            p1, p2, p3 = carry
+            p1, p2, m7p2, m7p3 = carry
             # All UNROLL steps of this iteration read the same 8-aligned
             # symbol window: base = qq - UNROLL*it - UNROLL.
             base = pl.multiple_of(qq - UNROLL * it - UNROLL, UNROLL)
             win = askew_ref[pl.ds(base, hb + 8), :]
             for u in range(UNROLL):
                 q = UNROLL * it + u + 1
-                new = step(q, win, u, p1, p2, p3)
-                p1, p2, p3 = new, p1, p2
-            return (p1, p2, p3)
+                new, m7p1 = step(q, win, u, p1, p2, m7p2, m7p3)
+                p1, p2, m7p2, m7p3 = new, p1, m7p1, m7p2
+            return (p1, p2, m7p2, m7p3)
 
         zeros7 = (zero,) * NUM_MATRICES
         jax.lax.fori_loop(
-            0, qq // UNROLL, body, (zeros7, zeros7, zeros7)
+            0, qq // UNROLL, body, (zeros7, zeros7, zero, zero)
         )
 
     return kernel, qq, dtype
