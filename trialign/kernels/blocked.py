@@ -48,8 +48,12 @@ from trialign.kernels.plane_math import (
 
 DEF_HB = 256  # default plane rows (j): halo + Tb cells
 DEF_WC = 256  # default plane cols (k): halo + Tc cells
-UNB = 8  # q-loop macro-step (planes per iteration); sublane tile
-SOFF = 8  # face-row guard band (absorbs ramp-up writes)
+UNB = 8  # q-loop macro-step (planes per iteration; multiple of 8).
+# UNB=16 halves per-macro overhead but costs ~2 extra live planes per
+# unrolled step, shrinking the feasible block-shape set enough to lose
+# net throughput at 2k^3/4k^3 (measured).
+SOFF = UNB  # face-row guard band (absorbs ramp-up writes)
+FROWS = 8 * UNB  # flat slab rows per macro batch
 
 
 def _round_up(x, m):
@@ -57,29 +61,32 @@ def _round_up(x, m):
 
 
 def choose_block_shape(la: int, lb: int, lc: int,
-                       vmem_budget: int = 13 * 2**20) -> Tuple[int, int]:
+                       vmem_budget: int = 15 * 2**20) -> Tuple[int, int]:
     """Pick (hb, wc) minimizing total plane-work n_jb*n_kb*qqb*hb*wc under
     the VMEM budget.  The sweep is ALU-bound, so total vector work is the
     cost model; padding waste from ceil(lb/tb) is what this avoids (e.g.
     1024/255 -> 5 block rows where 1024/263 -> 4)."""
     best = None
     lab = _round_up(max(la, 16), 16)
-    # Measured per-plane cost model on v5e: ~0.85 us fixed + ~28 ps/cell
-    # -> fixed term ~30k cell-equivalents.
-    FIXED_CELLS = 30000
+    # Measured per-plane cost model on v5e: fixed overhead ~20k
+    # cell-equivalents plus per-cell work whose efficiency depends on the
+    # lane width (narrow planes pay relatively more roll/loop overhead).
+    FIXED_CELLS = 20000
+    EFF = {128: 1.30, 256: 1.08, 384: 1.00, 512: 1.00}
     for hb in range(128, 513, 8):
         for wc in (128, 256, 384, 512):
             tb, tc = hb - 1, wc - 1
+            hbp = _round_up(hb, 128)
             n_jb = max(1, -(-lb // tb))
             n_kb = max(1, -(-lc // tc))
             qqb = _round_up(lab + tb + tc, UNB)
-            # ~24 plane-sized live values (16 carried + 7 in flight), the
-            # symbol window + askew residence, and the DMA rings.
-            vmem = (24 * hb * wc + (qqb + 2 * hb + 16) * wc
-                    + 6 * 64 * (hb + wc)) * 4
+            # Live plane count measured on v5e: 16 carried + ~2 per unrolled
+            # step of Mosaic stack temporaries; plus askew + window + rings.
+            vmem = ((16 + 2 * UNB) * hb * wc + (qqb + 2 * hb + 2 * UNB) * wc
+                    + 2 * 8 * UNB * (2 * wc + 2 * hbp + hb)) * 4
             if vmem > vmem_budget:
                 continue
-            work = n_jb * n_kb * qqb * (hb * wc + FIXED_CELLS)
+            work = n_jb * n_kb * qqb * (hb * wc * EFF[wc] + FIXED_CELLS)
             if best is None or work < best[0]:
                 best = (work, hb, wc)
     if best is None:
@@ -151,16 +158,16 @@ def _block_sweep(
     cellmask = (jl == jlstar) & (kl == klstar)
 
     def rd_row_dma(it, slot):
-        # face rows q + SOFF for q in [8it+1, 8it+8] -> 64 flat rows.
+        # face rows q + SOFF for q in [UNB*it+1, UNB*(it+1)] -> FROWS flat rows.
         fr = 8 * (UNB * it + 1 + SOFF)
         return pltpu.make_async_copy(
-            srf_in.at[kb, pl.ds(fr, 64)], rb_r.at[slot], rd_sem.at[0, slot]
+            srf_in.at[kb, pl.ds(fr, FROWS)], rb_r.at[slot], rd_sem.at[0, slot]
         )
 
     def rd_col_dma(it, slot):
         fr = 8 * (UNB * it + 1 + SOFF)
         return pltpu.make_async_copy(
-            cf_in.at[jb, pl.ds(fr, 64)], rb_c.at[slot], rd_sem.at[1, slot]
+            cf_in.at[jb, pl.ds(fr, FROWS)], rb_c.at[slot], rd_sem.at[1, slot]
         )
 
     def wr_row_dma(it, slot):
@@ -168,13 +175,13 @@ def _block_sweep(
         # clamp into the guard band (rows < SOFF are never read).
         fr = 8 * jnp.maximum(UNB * it + 1 - tb + SOFF, 0)
         return pltpu.make_async_copy(
-            st_r.at[slot], srf_out.at[kb, pl.ds(fr, 64)], wr_sem.at[0, slot]
+            st_r.at[slot], srf_out.at[kb, pl.ds(fr, FROWS)], wr_sem.at[0, slot]
         )
 
     def wr_col_dma(it, slot):
         fr = 8 * jnp.maximum(UNB * it + 1 - tc + SOFF, 0)
         return pltpu.make_async_copy(
-            st_ct.at[slot], cf_out.at[jb, pl.ds(fr, 64)], wr_sem.at[1, slot]
+            st_ct.at[slot], cf_out.at[jb, pl.ds(fr, FROWS)], wr_sem.at[1, slot]
         )
 
     # Warm up the read pipeline.
@@ -209,9 +216,9 @@ def _block_sweep(
         # macro gives (hb, 64) with per-step static lane slices.
         colbuf = jnp.swapaxes(rb_c[slot], 0, 1)  # (hb, 64)
 
-        # Shared 8-aligned symbol window for the UNB steps.
+        # Shared aligned symbol window for the UNB steps.
         base = pl.multiple_of(qqb - UNB * it - UNB, UNB)
-        win = askew_ref[pl.ds(base, hb + 8), :]
+        win = askew_ref[pl.ds(base, hb + UNB), :]
 
         for u in range(UNB):
             q = UNB * it + u + 1
@@ -295,11 +302,11 @@ def _scratch_shapes(hb, wc):
 
     hbp = _round_up(hb, 128)
     return [
-        pltpu.VMEM((2, 64, wc), jnp.int32),  # rb_r
-        pltpu.VMEM((2, 64, hbp), jnp.int32),  # rb_c
-        pltpu.VMEM((2, 64, wc), jnp.int32),  # st_r
-        pltpu.VMEM((2, hb, 64), jnp.int32),  # st_c
-        pltpu.VMEM((2, 64, hbp), jnp.int32),  # st_ct
+        pltpu.VMEM((2, FROWS, wc), jnp.int32),  # rb_r
+        pltpu.VMEM((2, FROWS, hbp), jnp.int32),  # rb_c
+        pltpu.VMEM((2, FROWS, wc), jnp.int32),  # st_r
+        pltpu.VMEM((2, hb, FROWS), jnp.int32),  # st_c
+        pltpu.VMEM((2, FROWS, hbp), jnp.int32),  # st_ct
         pltpu.SemaphoreType.DMA((2, 2)),
         pltpu.SemaphoreType.DMA((2, 2)),
     ]
@@ -384,7 +391,7 @@ def make_grid_call(dims: Tuple, scoring: Scoring, interpret: bool):
     from jax.experimental.pallas import tpu as pltpu
 
     hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2 = dims
-    arows = qqb + hb + 8
+    arows = qqb + hb + UNB
     kernel = _make_grid_kernel(dims, scoring)
     n_blocks = n_jb * n_kb
 
@@ -418,10 +425,10 @@ def make_grid_call(dims: Tuple, scoring: Scoring, interpret: bool):
 
 
 def _build_askew_blocked(a_ext, qqb, hb, wc):
-    """ASKREV[r, k] = A[(qqb - r) - k] over a (qqb+hb+8, wc) grid."""
+    """ASKREV[r, k] = A[(qqb - r) - k] over a (qqb+hb+UNB, wc) grid."""
     from trialign.kernels.wavefront import build_askew
 
-    return build_askew(a_ext, qqb, qqb + hb + 8, wc)
+    return build_askew(a_ext, qqb, qqb + hb + UNB, wc)
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "scoring", "interpret"))
