@@ -144,3 +144,20 @@ def test_reference_dat_vectors_bruteforce_parity():
 
     a, b, c = load_reference_triplet()
     assert align_bruteforce(a, b, c) == align_planes_numpy(a, b, c)
+
+
+def test_score_bits_wraparound(rng):
+    """RTL-parity mode: SCORE_BITS-wide unsaturated registers wrap
+    (reference: src/TriAlign_1cyc.v:6, SURVEY.md section 0.3 quirk 3).
+    With generous width it matches the clean model; with a tiny width the
+    identical-sequence score overflows and wraps, as the hardware would."""
+    from trialign.golden import align_planes_numpy
+
+    a, b, c = random_triplet(rng, 20, 20, 20)
+    clean = align_planes_numpy(a, b, c)
+    assert align_planes_numpy(a, b, c, score_bits=12) == clean
+
+    s = np.full(40, 2, dtype=np.uint8)  # identical triplet: score 3*40 = 120
+    assert align_planes_numpy(s, s, s) == 120
+    wrapped = align_planes_numpy(s, s, s, score_bits=6)  # range [-32, 31]
+    assert wrapped != 120 and -32 <= wrapped <= 31

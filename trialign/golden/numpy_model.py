@@ -84,6 +84,7 @@ def align_planes_numpy(
     c,
     scoring: Scoring = Scoring(),
     return_cuboid: bool = False,
+    score_bits: int = 0,
 ):
     """Vectorized anti-diagonal plane sweep.
 
@@ -92,6 +93,12 @@ def align_planes_numpy(
     fixed (j, k) shifts, so each step is a handful of shifted adds and maxes
     over a (|B|+1, |C|+1) array -- the same dataflow the PE array realizes
     with its diagonal delay registers (reference: src/PE_1cyc.v:80-109).
+
+    ``score_bits``: if nonzero, wrap every stored value to a signed
+    ``score_bits``-wide integer, reproducing the RTL's unsaturated
+    SCORE_BITS=12 registers (reference: src/TriAlign_1cyc.v:6; SURVEY.md
+    section 0.3 quirk 3).  0 (default) keeps full int32 range -- the
+    clean-model semantics every TPU backend implements.
     """
     a, b, c = _as_codes(a), _as_codes(b), _as_codes(c)
     la, lb, lc = len(a), len(b), len(c)
@@ -152,6 +159,11 @@ def align_planes_numpy(
         for t in range(NUM_MATRICES):
             cand = np.max(preds[t] + w[t][:, None, None], axis=0) + subs[t]
             new[t] = cand
+        if score_bits:
+            # Emulate an unsaturated score_bits-wide signed register: keep
+            # the low bits, sign-extend (two's-complement wraparound).
+            m = np.int32(1 << score_bits)
+            new = ((new + (m >> 1)) % m) - (m >> 1)
 
         # Zero borders: any position with i<=0, j==0 or k==0 is a border cell
         # of value 0; positions with i>la are unreachable, zero them for hygiene.
