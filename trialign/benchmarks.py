@@ -1,0 +1,140 @@
+"""Benchmark measurement helpers (shared by bench.py and the CLI).
+
+Measurement discipline for the remote-TPU environment (learned the hard
+way; see experiments/README.md):
+* every timed sample ends in jax.device_get() -- block_until_ready() does
+  not reliably block on the axon platform;
+* repeats inside one jit use DIFFERENT inputs, or XLA CSE collapses them;
+* take the min over trials (tunnel hiccups add tens of ms of noise).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from trialign.config import PAD_SYMBOL, Scoring
+
+BASELINE_ASIC_GCUPS = 12.4  # reference ASIC @512^3, pic/Result.png (derived)
+
+
+def time_chained(fn, args, repeats, trials=4):
+    """min wall time of fn(*args) / repeats, with a full host sync."""
+    import jax
+
+    jax.device_get(fn(*args))  # compile + warm
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        jax.device_get(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best / repeats
+
+
+def bench_single_stream(n, repeats, scoring: Scoring = Scoring()):
+    """Amortized single-alignment GCUPS at n^3 via the Pallas wavefront
+    kernel; `repeats` distinct alignments chained inside one jit."""
+    import jax
+    import jax.numpy as jnp
+
+    from trialign.kernels import wavefront as wf
+
+    rng = np.random.default_rng(42)
+    lab, hb, wc = wf.bucket_dims(n, n, n)
+    interpret = jax.default_backend() != "tpu"
+    flat = []
+    for _ in range(repeats):
+        a, b, c = (rng.integers(0, 4, size=n).astype(np.uint8) for _ in range(3))
+        flat.extend(jnp.asarray(x) for x in wf.prepare_compact(a, b, c, lab, hb, wc))
+
+    @jax.jit
+    def chained(*flat):
+        outs = []
+        for i in range(repeats):
+            lens, ae, bf, cf = flat[4 * i : 4 * i + 4]
+            outs.append(
+                wf._run_compact(lens, ae, bf, cf, lab, hb, wc, scoring, interpret).max()
+            )
+        return jnp.stack(outs).sum()
+
+    dt = time_chained(chained, flat, repeats)
+    return n**3 / dt / 1e9, dt
+
+
+def bench_blocked(n, repeats, scoring: Scoring = Scoring(), block_shape=None):
+    """Long-triplet sliced sweep (the slicing-method path) at n^3;
+    `repeats` distinct alignments chained inside one jit."""
+    import jax
+    import jax.numpy as jnp
+
+    from trialign.kernels import blocked as BK
+
+    rng = np.random.default_rng(3)
+    shape = block_shape or BK.choose_block_shape(n, n, n)
+    dims = BK.plan_dims(n, n, n, *shape)
+    hb, wc, lab = dims[0], dims[1], dims[2]
+    kdim, jdim = dims[6], dims[7]
+    b = rng.integers(0, 4, size=n).astype(np.uint8)
+    c = rng.integers(0, 4, size=n).astype(np.uint8)
+    b_arr = np.full(jdim + hb + 8, PAD_SYMBOL - 1, np.int32)
+    b_arr[1 : n + 1] = b
+    c_arr = np.full(kdim + wc + 8, PAD_SYMBOL - 2, np.int32)
+    c_arr[1 : n + 1] = c
+    lens = jnp.asarray(np.array([n, n, n], np.int32))
+    aexts = []
+    for _ in range(repeats):
+        a = rng.integers(0, 4, size=n).astype(np.uint8)
+        a_ext = np.full(lab + 2, PAD_SYMBOL, np.int32)
+        a_ext[1 : n + 1] = a
+        aexts.append(jnp.asarray(a_ext))
+
+    @jax.jit
+    def chained(lens, barr, carr, *aexts):
+        outs = [
+            BK._blocked_core(lens, ae, barr, carr, dims, scoring, False)[:7].max()
+            for ae in aexts
+        ]
+        return jnp.stack(outs).sum()
+
+    dt = time_chained(
+        chained, (lens, jnp.asarray(b_arr), jnp.asarray(c_arr), *aexts), repeats
+    )
+    return n**3 / dt / 1e9, dt
+
+
+def bench_batch(n, batch, scoring: Scoring = Scoring()):
+    """End-to-end batched throughput (includes host prep + transfers)."""
+    from trialign.dist.batch import align_batch_padded
+
+    rng = np.random.default_rng(7)
+    trips = [
+        tuple(rng.integers(0, 4, size=n).astype(np.uint8) for _ in range(3))
+        for _ in range(batch)
+    ]
+    align_batch_padded(trips, scoring)  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        align_batch_padded(trips, scoring)  # returns host ints: fully synced
+        best = min(best, time.perf_counter() - t0)
+    return batch * n**3 / best / 1e9, best
+
+
+def parity_check(scoring: Scoring = Scoring()):
+    """Bit-exact score parity of the compiled kernels vs the NumPy oracle --
+    a bench run with wrong answers is void."""
+    from trialign.golden import align_planes_numpy
+    from trialign.kernels.blocked import align_blocked
+    from trialign.kernels.wavefront import align_wavefront
+    from trialign.io import load_reference_triplet
+
+    a, b, c = load_reference_triplet()
+    want = align_planes_numpy(a, b, c, scoring)
+    got = align_wavefront(a, b, c, scoring)
+    if got != want:
+        raise AssertionError(f"wavefront parity FAILED: {got} != {want}")
+    got_b = align_blocked(a, b, c, scoring)
+    if got_b != want:
+        raise AssertionError(f"blocked parity FAILED: {got_b} != {want}")
+    return want

@@ -109,6 +109,42 @@ def cmd_batch(args) -> int:
     return 0
 
 
+def cmd_bench(args) -> int:
+    """Honest single-chip benchmark at --size^3 (see trialign.benchmarks
+    for the measurement discipline)."""
+    import jax
+
+    from trialign.benchmarks import (
+        BASELINE_ASIC_GCUPS,
+        bench_blocked,
+        bench_single_stream,
+        parity_check,
+    )
+
+    sc = _scoring(args)
+    parity_check(sc)
+    n = args.size
+    if n <= 255 and args.mode in ("auto", "wavefront"):
+        gcups, dt = bench_single_stream(n, args.repeats, sc)
+        mode = "wavefront"
+    else:
+        gcups, dt = bench_blocked(n, args.repeats, sc)
+        mode = "blocked"
+    out = {
+        "size": n,
+        "mode": mode,
+        "ms_per_alignment": round(dt * 1e3, 3),
+        "gcups": round(gcups, 3),
+        "vs_reference_asic": round(gcups / BASELINE_ASIC_GCUPS, 3),
+        "backend": jax.default_backend(),
+        "parity": "exact",
+    }
+    print(json.dumps(out) if args.json else
+          f"{mode} {n}^3: {dt*1e3:.2f} ms/alignment -> {gcups:.2f} GCUPS "
+          f"({out['vs_reference_asic']}x reference ASIC)")
+    return 0
+
+
 def cmd_selftest(args) -> int:
     """Cross-backend parity on the canonical triplet -- the self-checking
     the reference testbench lacked."""
@@ -170,6 +206,14 @@ def main(argv=None) -> int:
     p.add_argument("--tsv", required=True)
     _add_scoring_args(p)
     p.set_defaults(fn=cmd_batch)
+
+    p = sub.add_parser("bench", help="single-chip benchmark at --size^3")
+    p.add_argument("--size", type=int, default=1024)
+    p.add_argument("--repeats", type=int, default=4)
+    p.add_argument("--mode", choices=["auto", "wavefront", "blocked"], default="auto")
+    p.add_argument("--json", action="store_true")
+    _add_scoring_args(p)
+    p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("selftest", help="cross-backend parity check")
     _add_scoring_args(p)
