@@ -125,3 +125,63 @@ def test_checkpoint_incompatible_shapes_rejected(rng, tmp_path):
     r2 = CheckpointedAligner(a2, b2, c2, ckpt_path=path, every=2,
                              block_shape=(16, 128), interpret=True)
     assert not r2.resume()
+
+
+def test_align_resilient_recovers_from_injected_failure(rng, tmp_path, monkeypatch):
+    """Failure detection / elastic recovery (SURVEY section 5): kill the
+    run mid-grid twice; the supervisor must resume from the face checkpoint
+    and still produce the exact score."""
+    import trialign.checkpoint as ckpt_mod
+    from trialign.golden import align_planes_numpy
+    from trialign.resilience import align_resilient
+    from tests.conftest import random_triplet
+
+    a, b, c = random_triplet(rng, 10, 40, 50)
+    want = align_planes_numpy(a, b, c)
+
+    real_segment = ckpt_mod._segment
+    crashes = {"left": 2}
+
+    def flaky_segment(*args, **kw):
+        out = real_segment(*args, **kw)
+        if crashes["left"] > 0:
+            crashes["left"] -= 1
+            raise RuntimeError("injected device loss")
+        return out
+
+    monkeypatch.setattr(ckpt_mod, "_segment", flaky_segment)
+    got = align_resilient(
+        a, b, c,
+        ckpt_path=str(tmp_path / "ck.npz"),
+        every=1,
+        max_retries=3,
+        backoff_s=0.0,
+        interpret=True,
+        block_shape=(16, 128),
+    )
+    assert got == want
+    assert crashes["left"] == 0
+
+
+def test_align_resilient_gives_up(rng, tmp_path, monkeypatch):
+    import pytest
+
+    import trialign.checkpoint as ckpt_mod
+    from trialign.resilience import AlignmentFailed, align_resilient
+    from tests.conftest import random_triplet
+
+    a, b, c = random_triplet(rng, 6, 10, 10)
+
+    def always_fail(*args, **kw):
+        raise RuntimeError("permanent failure")
+
+    monkeypatch.setattr(ckpt_mod, "_segment", always_fail)
+    with pytest.raises(AlignmentFailed):
+        align_resilient(
+            a, b, c,
+            ckpt_path=str(tmp_path / "ck2.npz"),
+            max_retries=1,
+            backoff_s=0.0,
+            interpret=True,
+            block_shape=(16, 128),
+        )

@@ -35,3 +35,40 @@ def make_mesh(
 def default_mesh() -> Mesh:
     """All local devices on the 'data' axis (throughput mode)."""
     return make_mesh(data=len(jax.devices()), model=1)
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Initialize multi-host JAX (DCN) if a cluster is configured.
+
+    Reads the standard JAX env vars (JAX_COORDINATOR_ADDRESS etc.) when
+    arguments are omitted; a no-op single-process fallback otherwise.
+    Returns True if distributed mode is active.  After this, jax.devices()
+    is the GLOBAL device list and make_mesh() spans hosts: put the 'data'
+    axis across hosts (DCN carries only independent triplets) and keep the
+    'model' axis -- whose halo exchange is latency-sensitive -- within a
+    host's ICI domain (SURVEY.md section 2: distributed communication
+    backend)."""
+    import os
+
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def multihost_mesh(model_per_host: int = 1) -> Mesh:
+    """(data, model) mesh for a multi-host slice: model axis ICI-local,
+    data axis spanning hosts over DCN."""
+    devices = jax.devices()
+    model = max(1, model_per_host)
+    data = len(devices) // model
+    return make_mesh(data=data, model=model, devices=devices)
