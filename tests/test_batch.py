@@ -59,3 +59,16 @@ def test_api_align_batch(rng):
     results = align_batch(trips)
     assert [r.score for r in results] == want
     assert all(r.cells == len(t[0]) * len(t[1]) * len(t[2]) for r, t in zip(results, trips))
+
+
+def test_batch_long_triplets_route_to_blocked(rng):
+    """align_batch beyond the single-block 255 limit falls back to the
+    blocked sweep instead of raising."""
+    from trialign.api import align_batch
+    from trialign.golden import align_planes_numpy
+    from tests.conftest import random_triplet
+
+    trips = [random_triplet(rng, 8, 20, 300) for _ in range(2)]
+    res = align_batch(trips)
+    for (a, b, c), r in zip(trips, res):
+        assert r.score == align_planes_numpy(a, b, c)

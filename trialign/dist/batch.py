@@ -148,9 +148,16 @@ def align_batch_padded(
     scoring: Scoring = Scoring(),
     engine: Optional[str] = None,
 ) -> List[int]:
-    """Align a batch of triplets on the local default device."""
+    """Align a batch of triplets on the local default device.
+
+    Triplets beyond the single-block kernel's |B|,|C| <= 255 limit route
+    through the blocked (sliced) sweep one by one."""
     if not triplets:
         return []
+    if max(max(len(t[1]), len(t[2])) for t in triplets) > 255:
+        from trialign.kernels.blocked import align_blocked
+
+        return [align_blocked(a, b, c, scoring) for a, b, c in triplets]
     lens, askew, bp, cp, lab, hb, wc = prep_padded(triplets)
     if engine is None:
         engine, interpret = _pick_engine()
