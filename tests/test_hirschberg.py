@@ -77,3 +77,70 @@ def test_dat_triplet(monkeypatch):
     monkeypatch.setattr(H, "BASE_CELLS", 2000)
     a, b, c = load_reference_triplet()
     _check(a, b, c)
+
+
+def test_xla_engine_matches_numpy_engine(rng):
+    """The jitted sweep twins must match the NumPy spec elementwise on all
+    three modes and the backward slab."""
+    import numpy as np
+
+    from trialign.config import NUM_MATRICES, Scoring
+    from trialign.traceback.engine import NEG, backward_slab, forward_sweep
+    from trialign.traceback.xla_engine import backward_slab_xla, forward_sweep_xla
+    from tests.conftest import random_triplet
+
+    sc = Scoring()
+    a, b, c = random_triplet(rng, 14, 11, 9)
+    m = 7
+
+    for mode in ("free", "free_jk", "pin"):
+        v0 = None
+        if mode == "pin":
+            v0 = np.full(NUM_MATRICES, NEG, dtype=np.int32)
+            v0[0] = 0
+        f_np, s_np, _ = forward_sweep(a, b, c, sc, mode=mode, v0=v0, capture_m=m)
+        f_x, s_x = forward_sweep_xla(a, b, c, sc, mode=mode, v0=v0, capture_m=m)
+        assert np.array_equal(f_np, f_x), mode
+        assert np.array_equal(s_np, s_x), mode
+
+    end_v = np.full(NUM_MATRICES, NEG, dtype=np.int32)
+    end_v[4] = 0
+    g_np = backward_slab(a[m:], b, c, sc, end_v=end_v)
+    g_x = backward_slab_xla(a[m:], b, c, sc, end_v=end_v)
+    assert np.array_equal(g_np, g_x)
+
+
+def test_hirschberg_with_xla_slabs(rng, monkeypatch):
+    """Force the XLA slab path in the recursion and check exact alignments."""
+    import trialign.traceback.hirschberg as H
+    from trialign.golden import align_planes_numpy
+    from trialign.golden.numpy_model import rescore_alignment
+    from tests.conftest import random_triplet
+
+    monkeypatch.setattr(H, "XLA_CELLS", 0)
+    monkeypatch.setattr(H, "BASE_CELLS", 1 << 8)
+    a, b, c = random_triplet(rng, 24, 18, 15)
+    want = align_planes_numpy(a, b, c)
+    score, rows = H.hirschberg_align(a, b, c)
+    assert score == want
+    assert rescore_alignment(rows) == want
+
+
+def test_dat_triplet_alignment_parity():
+    """BASELINE config 1: exact score AND alignment on the reference's
+    dat/A_seq,B_seq,C_seq vectors."""
+    from trialign.golden import align_planes_numpy
+    from trialign.golden.numpy_model import rescore_alignment
+    from trialign.io import load_reference_triplet
+    from trialign.traceback import hirschberg_align
+
+    a, b, c = load_reference_triplet()
+    want = align_planes_numpy(a, b, c)
+    score, rows = hirschberg_align(a, b, c)
+    assert score == want
+    assert rescore_alignment(rows) == want
+    # The alignment reproduces the sequences when gaps are stripped.
+    import numpy as np
+
+    for row, seq in zip(rows, (a, b, c)):
+        assert np.array_equal([v for v in row if v != -1], seq)

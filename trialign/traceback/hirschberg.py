@@ -25,7 +25,35 @@ from trialign.traceback.engine import NEG, backward_slab, forward_sweep
 # Base-case cuboid cell budget (7 matrices x 4B each: ~29 MB at the cap).
 BASE_CELLS = 1 << 20
 
+# Above this many cells, slab sweeps run on the accelerator via the jitted
+# twin engine (trialign/traceback/xla_engine.py); below, NumPy wins on
+# dispatch+compile overhead.
+XLA_CELLS = 1 << 24
+
 Column = Tuple[int, int, int]
+
+
+def _fwd_slab(a, b, c, scoring, mode, v0, capture_m):
+    """forward_sweep dispatch: compiled engine for big slabs."""
+    if (len(a) + 1) * (len(b) + 1) * (len(c) + 1) >= XLA_CELLS:
+        from trialign.traceback.xla_engine import forward_sweep_xla
+
+        final, slab = forward_sweep_xla(
+            a, b, c, scoring, mode=mode, v0=v0, capture_m=capture_m
+        )
+        return final, slab
+    final, slab, _ = forward_sweep(
+        a, b, c, scoring, mode=mode, v0=v0, capture_m=capture_m
+    )
+    return final, slab
+
+
+def _bwd_slab(a_suffix, b, c, scoring, end_v):
+    if (len(a_suffix) + 1) * (len(b) + 1) * (len(c) + 1) >= XLA_CELLS:
+        from trialign.traceback.xla_engine import backward_slab_xla
+
+        return backward_slab_xla(a_suffix, b, c, scoring, end_v=end_v)
+    return backward_slab(a_suffix, b, c, scoring, end_v=end_v)
 
 
 def _sub_at(scoring: Scoring, t: int, a, b, c, i: int, j: int, k: int) -> int:
@@ -130,14 +158,12 @@ def _solve(
     if mode == "pin":
         v0 = np.full(NUM_MATRICES, NEG, dtype=np.int32)
         v0[s0] = 0
-    _, f_slab, _ = forward_sweep(
-        a[:m], b, c, scoring, mode=mode, v0=v0, capture_m=m
-    )
+    _, f_slab = _fwd_slab(a[:m], b, c, scoring, mode, v0, m)
     end_v = np.zeros(NUM_MATRICES, dtype=np.int32)
     if end_state is not None:
         end_v[:] = NEG
         end_v[end_state] = 0
-    g_slab = backward_slab(a[m:], b, c, scoring, end_v=end_v)
+    g_slab = _bwd_slab(a[m:], b, c, scoring, end_v)
 
     total = f_slab.astype(np.int64) + g_slab.astype(np.int64)
     flat = int(np.argmax(total))
@@ -150,7 +176,7 @@ def _solve(
         # and never cross the i = m slab by real DP steps.  Those live
         # entirely in the right half, whose own i=0 face is NOT a border
         # (it is the interior plane i=m of this problem) -- hence free_jk.
-        h_final, _, _ = forward_sweep(a[m:], b, c, scoring, mode="free_jk")
+        h_final, _ = _fwd_slab(a[m:], b, c, scoring, "free_jk", None, None)
         h_val = int(h_final[end_state]) if end_state is not None else int(h_final.max())
         if h_val > score:
             r_score, r_cols = _solve(a[m:], b, c, scoring, "free_jk", None, end_state)

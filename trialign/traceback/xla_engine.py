@@ -1,0 +1,301 @@
+"""Compiled (XLA) twins of the traceback sweeps.
+
+The Hirschberg recursion's cost is dominated by its top-level forward and
+backward slab sweeps; the NumPy engine (trialign/traceback/engine.py) is the
+readable spec but runs at CPU speed.  These jitted twins run the identical
+math on the accelerator with runtime lengths inside padded buckets, so the
+divide-and-conquer's arbitrary split sizes reuse a small set of compiled
+programs.
+
+Semantics mirror engine.forward_sweep / engine.backward_slab exactly
+(modes "free" / "free_jk" / "pin", NEG walls, per-state capture slabs);
+tests assert elementwise equality between the two engines.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+from trialign.config import CONSUMES, NUM_MATRICES, OFFSETS, Scoring
+from trialign.traceback.engine import NEG
+
+# Bucket ladder for padded shapes (few compiles, <=33% padding).
+_LADDER = (64, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096, 6144, 8192)
+
+
+def _bucket(x: int) -> int:
+    for v in _LADDER:
+        if x <= v:
+            return v
+    return ((x + 1023) // 1024) * 1024
+
+
+def _pad_seq(s: np.ndarray, size: int, fill: int) -> np.ndarray:
+    out = np.full(size, fill, dtype=np.int32)
+    out[: len(s)] = s
+    return out
+
+
+def _subs_jnp(scoring: Scoring, ai, bj, ck):
+    import jax.numpy as jnp
+
+    m, x = np.int32(scoring.match), np.int32(scoring.mismatch)
+    s_ab = jnp.where(ai == bj, m, x)
+    s_ac = jnp.where(ai == ck, m, x)
+    s_bc = jnp.where(bj == ck, m, x)
+    if scoring.s3_mode == "sop":
+        s3 = s_ab + s_ac + s_bc
+    else:
+        s3 = jnp.where(
+            ai == bj,
+            jnp.where(bj == ck, np.int32(3 * scoring.match),
+                      np.int32((scoring.match + scoring.mismatch) * 2)),
+            np.int32(3 * scoring.mismatch),
+        )
+    return (s3, 0, 0, 0, s_ab, s_bc, s_ac)
+
+
+def _shift_fill_jnp(x, dj, dk, fill):
+    import jax.numpy as jnp
+
+    if not dj and not dk:
+        return x
+    pad = [(0, 0)] * x.ndim
+    if dj:
+        pad[-2] = (dj, 0)
+    if dk:
+        pad[-1] = (dk, 0)
+    y = jnp.pad(x, pad, constant_values=fill)
+    sl = [slice(None)] * x.ndim
+    if dj:
+        sl[-2] = slice(0, x.shape[-2])
+    if dk:
+        sl[-1] = slice(0, x.shape[-1])
+    return y[tuple(sl)]
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("hb", "wc", "qq", "scoring", "mode"),
+)
+def _forward_core(lens, mcap, v0, a_pad, b_pad, c_pad, hb, wc, qq, scoring, mode):
+    import jax
+    import jax.numpy as jnp
+
+    la, lb, lc = lens[0], lens[1], lens[2]
+    w = scoring.weight_matrix().astype(np.int32)
+    free = mode == "free"
+    free_jk = mode == "free_jk"
+    fill = np.int32(0 if free else NEG)
+
+    j_grid = jnp.arange(hb, dtype=jnp.int32)[:, None] * jnp.ones((1, wc), jnp.int32)
+    k_grid = jnp.ones((hb, 1), jnp.int32) * jnp.arange(wc, dtype=jnp.int32)[None, :]
+    jk = j_grid + k_grid
+
+    bj = jnp.broadcast_to(b_pad[:hb, None], (hb, wc))
+    ck = jnp.broadcast_to(c_pad[None, :wc], (hb, wc))
+
+    p0 = jnp.full((NUM_MATRICES, hb, wc), fill, jnp.int32)
+    if free_jk:
+        border = (j_grid == 0) | (k_grid == 0)
+        p0 = jnp.where(border[None], 0, p0)
+    # Ring planes q=-1/-2 carry NO origin: only plane 0 does (mirrors the
+    # NumPy engine's ring initialization).
+    pring = p0
+    if mode == "pin":
+        origin = (j_grid == 0) & (k_grid == 0)
+        p0 = jnp.where(origin[None], v0[:, None, None], p0)
+
+    slab0 = jnp.full((NUM_MATRICES, hb, wc), NEG, jnp.int32)
+    # capture_m == 0 cases (callers only use 0 < m < la, but stay faithful):
+    slab0 = jnp.where(jnp.equal(mcap, 0), p0, slab0)
+    final0 = p0[:, lb, lc]
+
+    def step(carry, q):
+        p1, p2, p3, slab, final = carry
+        i_grid = q - jk
+        ai_idx = jnp.clip(i_grid - 1, 0, a_pad.shape[0] - 1)
+        ai = a_pad[ai_idx]
+        ai = jnp.where((i_grid >= 1) & (i_grid <= la), ai, -9)
+        subs = _subs_jnp(scoring, ai, bj, ck)
+
+        preds = [
+            _shift_fill_jnp(p3, 1, 1, fill),  # M
+            p1,  # Ix
+            _shift_fill_jnp(p1, 1, 0, fill),  # Iy
+            _shift_fill_jnp(p1, 0, 1, fill),  # Iz
+            _shift_fill_jnp(p2, 1, 0, fill),  # Ixy
+            _shift_fill_jnp(p2, 1, 1, fill),  # Iyz
+            _shift_fill_jnp(p2, 0, 1, fill),  # Ixz
+        ]
+        new = []
+        for t in range(NUM_MATRICES):
+            cand = jnp.max(preds[t] + w[t][:, None, None], axis=0) + subs[t]
+            new.append(jnp.maximum(cand, NEG))
+        new = jnp.stack(new)
+
+        if free:
+            valid = (i_grid >= 1) & (i_grid <= la) & (j_grid >= 1) & (k_grid >= 1)
+            new = jnp.where(valid[None], new, 0)
+        elif free_jk:
+            irange = (i_grid >= 1) & (i_grid <= la)
+            new = jnp.where(irange[None], new, NEG)
+            border = (j_grid == 0) | (k_grid == 0)
+            new = jnp.where(border[None], 0, new)
+        else:
+            inside = (i_grid >= 0) & (i_grid <= la)
+            rows = []
+            for t in range(NUM_MATRICES):
+                ca, cb, cc = CONSUMES[t]
+                ok = inside & (i_grid >= ca) & (j_grid >= cb) & (k_grid >= cc)
+                rows.append(jnp.where(ok, new[t], NEG))
+            new = jnp.stack(rows)
+
+        slab = jnp.where((i_grid == mcap)[None], new, slab)
+        final = jnp.where(q == la + lb + lc, new[:, lb, lc], final)
+        return (new, p1, p2, slab, final), None
+
+    init = (p0, pring, pring, slab0, final0)
+    (_, _, _, slab, final), _ = jax.lax.scan(
+        step, init, jnp.arange(1, qq + 1, dtype=jnp.int32)
+    )
+    return final, slab
+
+
+def forward_sweep_xla(
+    a,
+    b,
+    c,
+    scoring: Scoring = Scoring(),
+    mode: str = "free",
+    v0: Optional[np.ndarray] = None,
+    capture_m: Optional[int] = None,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Compiled forward sweep; same contract as engine.forward_sweep minus
+    the cuboid option.  Returns (final (7,), slab or None)."""
+    import jax
+    import jax.numpy as jnp
+
+    a = np.asarray(a, dtype=np.int32)
+    b = np.asarray(b, dtype=np.int32)
+    c = np.asarray(c, dtype=np.int32)
+    la, lb, lc = len(a), len(b), len(c)
+    hb, wc = _bucket(lb + 1), _bucket(lc + 1)
+    lap = _bucket(max(la, 1))
+    qq = lap + hb + wc
+
+    a_pad = np.full(lap + 2, -9, dtype=np.int32)
+    a_pad[:la] = a  # 0-based: ai = a_pad[i-1], mirroring engine.forward_sweep
+    b_pad = _pad_seq(np.concatenate([[-7], b]), hb, -7)
+    c_pad = _pad_seq(np.concatenate([[-8], c]), wc, -8)
+    lens = jnp.asarray(np.array([la, lb, lc], np.int32))
+    v0j = jnp.asarray(
+        v0.astype(np.int32) if v0 is not None else np.zeros(NUM_MATRICES, np.int32)
+    )
+    mcap = jnp.int32(capture_m if capture_m is not None else -1)
+
+    final, slab = _forward_core(
+        lens, mcap, v0j, jnp.asarray(a_pad), jnp.asarray(b_pad), jnp.asarray(c_pad),
+        hb, wc, qq, scoring, mode,
+    )
+    final = np.asarray(jax.device_get(final))
+    if capture_m is None:
+        return final, None
+    slab = np.asarray(jax.device_get(slab))[:, : lb + 1, : lc + 1]
+    return final, slab
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("hb", "wc", "qq", "scoring"),
+)
+def _backward_core(lens, end_v, a_pad, b_pad, c_pad, hb, wc, qq, scoring):
+    import jax
+    import jax.numpy as jnp
+
+    la, lb, lc = lens[0], lens[1], lens[2]
+    w = scoring.weight_matrix().astype(np.int32)
+
+    j_grid = jnp.arange(hb, dtype=jnp.int32)[:, None] * jnp.ones((1, wc), jnp.int32)
+    k_grid = jnp.ones((hb, 1), jnp.int32) * jnp.arange(wc, dtype=jnp.int32)[None, :]
+    jk = j_grid + k_grid
+
+    bj = jnp.broadcast_to(b_pad[:hb, None], (hb, wc))
+    ck = jnp.broadcast_to(c_pad[None, :wc], (hb, wc))
+
+    pring = jnp.full((NUM_MATRICES, hb, wc), NEG, jnp.int32)
+    origin = (j_grid == 0) & (k_grid == 0)
+    p0 = jnp.where(origin[None], end_v[:, None, None], pring)
+    slab0 = jnp.where(jnp.equal(la, 0), p0, pring)
+
+    def step(carry, q):
+        p1, p2, p3, slab = carry
+        i_grid = q - jk
+        ai_idx = jnp.clip(i_grid - 1, 0, a_pad.shape[0] - 1)
+        ai = a_pad[ai_idx]
+        ai = jnp.where((i_grid >= 1) & (i_grid <= la), ai, -9)
+        subs = _subs_jnp(scoring, ai, bj, ck)
+
+        planes_by_delta = (None, p1, p2, p3)
+        e = []
+        for u in range(NUM_MATRICES):
+            du = OFFSETS[u]
+            src = planes_by_delta[du[0] + du[1] + du[2]][u]
+            e.append(_shift_fill_jnp(src, du[1], du[2], NEG) + subs[u])
+        e = jnp.stack(e)
+
+        new = []
+        for t in range(NUM_MATRICES):
+            new.append(
+                jnp.maximum(jnp.max(e + w[:, t][:, None, None], axis=0), NEG)
+            )
+        new = jnp.stack(new)
+        inside = (i_grid >= 0) & (i_grid <= la)
+        new = jnp.where(inside[None], new, NEG)
+
+        slab = jnp.where((i_grid == la)[None], new, slab)
+        return (new, p1, p2, slab), None
+
+    (_, _, _, slab), _ = jax.lax.scan(
+        step, (p0, pring, pring, slab0), jnp.arange(1, qq + 1, dtype=jnp.int32)
+    )
+    return slab
+
+
+def backward_slab_xla(
+    a_suffix,
+    b,
+    c,
+    scoring: Scoring = Scoring(),
+    end_v: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Compiled twin of engine.backward_slab."""
+    import jax
+    import jax.numpy as jnp
+
+    ra = np.asarray(a_suffix, dtype=np.int32)[::-1]
+    rb = np.asarray(b, dtype=np.int32)[::-1]
+    rc = np.asarray(c, dtype=np.int32)[::-1]
+    la, lb, lc = len(ra), len(rb), len(rc)
+    hb, wc = _bucket(lb + 1), _bucket(lc + 1)
+    lap = _bucket(max(la, 1))
+    qq = lap + hb + wc
+
+    a_pad = np.full(lap + 2, -9, dtype=np.int32)
+    a_pad[:la] = ra  # 0-based: ai = a_pad[i-1]
+    b_pad = _pad_seq(np.concatenate([[-7], rb]), hb, -7)
+    c_pad = _pad_seq(np.concatenate([[-8], rc]), wc, -8)
+    lens = jnp.asarray(np.array([la, lb, lc], np.int32))
+    ev = jnp.asarray(
+        end_v.astype(np.int32) if end_v is not None else np.zeros(NUM_MATRICES, np.int32)
+    )
+
+    slab = _backward_core(
+        lens, ev, jnp.asarray(a_pad), jnp.asarray(b_pad), jnp.asarray(c_pad),
+        hb, wc, qq, scoring,
+    )
+    slab = np.asarray(jax.device_get(slab))[:, : lb + 1, : lc + 1]
+    return slab[:, ::-1, ::-1].copy()
