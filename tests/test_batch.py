@@ -72,3 +72,21 @@ def test_batch_long_triplets_route_to_blocked(rng):
     res = align_batch(trips)
     for (a, b, c), r in zip(trips, res):
         assert r.score == align_planes_numpy(a, b, c)
+
+
+def test_batch_bucketed_mixed_lengths(rng):
+    """Mixed-length bucketed batching (BASELINE config 3 shape, miniature):
+    exact scores in input order across wavefront and blocked buckets."""
+    from trialign.dist.batch import align_batch_bucketed
+    from trialign.golden import align_planes_numpy
+    from tests.conftest import random_triplet
+
+    trips = [
+        random_triplet(rng, 12, 30, 20),
+        random_triplet(rng, 9, 20, 300),   # blocked bucket
+        random_triplet(rng, 15, 25, 25),
+        random_triplet(rng, 7, 18, 290),   # same blocked bucket
+    ]
+    got = align_batch_bucketed(trips, chain=2)
+    want = [align_planes_numpy(a, b, c) for a, b, c in trips]
+    assert got == want

@@ -178,6 +178,99 @@ def align_batch_padded(
     return [int(s) for s in jax.device_get(scores)]
 
 
+@functools.lru_cache(maxsize=64)
+def _chained_blocked_fn(dims, scoring, count, interpret):
+    """jit'd chain of `count` blocked alignments sharing one geometry."""
+    from trialign.kernels import blocked as BK
+
+    @jax.jit
+    def chained(*flat):
+        outs = []
+        for i in range(count):
+            lens, ae, ba, ca = flat[4 * i : 4 * i + 4]
+            outs.append(
+                BK._blocked_core(lens, ae, ba, ca, dims, scoring, interpret)[
+                    :NUM_MATRICES
+                ].max()
+            )
+        return jnp.stack(outs)
+
+    return chained
+
+
+def _blocked_group(triplets, scoring, interpret, chain=8):
+    """Score triplets sharing a block geometry, `chain` per dispatch."""
+    from trialign.kernels import blocked as BK
+
+    la = max(len(t[0]) for t in triplets)
+    lb = max(len(t[1]) for t in triplets)
+    lc = max(len(t[2]) for t in triplets)
+    shape = BK.choose_block_shape(la, lb, lc)
+    dims = BK.plan_dims(la, lb, lc, *shape)
+    hb, wc, lab = dims[0], dims[1], dims[2]
+    kdim, jdim = dims[6], dims[7]
+
+    def prep(a, b, c):
+        a_ext = np.full(lab + 2, PAD_SYMBOL, np.int32)
+        a_ext[1 : len(a) + 1] = a
+        b_arr = np.full(jdim + hb + 8, PAD_SYMBOL - 1, np.int32)
+        b_arr[1 : len(b) + 1] = b
+        c_arr = np.full(kdim + wc + 8, PAD_SYMBOL - 2, np.int32)
+        c_arr[1 : len(c) + 1] = c
+        lens = np.array([len(a), len(b), len(c)], np.int32)
+        return tuple(jnp.asarray(x) for x in (lens, a_ext, b_arr, c_arr))
+
+    scores: List[int] = []
+    n = len(triplets)
+    for off in range(0, n, chain):
+        grp = list(triplets[off : off + chain])
+        real = len(grp)
+        while len(grp) < min(chain, n):  # pad the tail: one compile per dims
+            grp.append(grp[0])
+        fn = _chained_blocked_fn(dims, scoring, len(grp), interpret)
+        flat = [x for t in grp for x in prep(*t)]
+        scores.extend(int(s) for s in jax.device_get(fn(*flat))[:real])
+    return scores
+
+
+def align_batch_bucketed(
+    triplets: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    scoring: Scoring = Scoring(),
+    chain: int = 8,
+) -> List[int]:
+    """Score a mixed-length batch: bucket by kernel geometry, one batched
+    dispatch per wavefront bucket and chained blocked dispatches per long
+    bucket (BASELINE config 3: 1024 triplets, len 128-512, padded/bucketed).
+
+    Returns scores in input order."""
+    if not triplets:
+        return []
+    interpret = jax.default_backend() != "tpu"
+    small: dict = {}
+    large: dict = {}
+    for i, (a, b, c) in enumerate(triplets):
+        la, lb, lc = len(a), len(b), len(c)
+        if lb <= 255 and lc <= 255:
+            key = wf.bucket_dims(la, lb, lc)
+            small.setdefault(key, []).append(i)
+        else:
+            key = (-(-la // 128), -(-lb // 128), -(-lc // 128))
+            large.setdefault(key, []).append(i)
+
+    out = [0] * len(triplets)
+    for key, idxs in small.items():
+        scores = align_batch_padded([triplets[i] for i in idxs], scoring)
+        for i, s in zip(idxs, scores):
+            out[i] = s
+    for key, idxs in large.items():
+        scores = _blocked_group(
+            [triplets[i] for i in idxs], scoring, interpret, chain
+        )
+        for i, s in zip(idxs, scores):
+            out[i] = s
+    return out
+
+
 def align_batch_sharded(
     triplets: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
     scoring: Scoring = Scoring(),
