@@ -132,40 +132,6 @@ def fused_plane_update_m7(p1, p2, m7p3, subs, groups, maximum, roll):
     return new, m7p1
 
 
-def fused_plane_update(planes, subs, groups, maximum, roll):
-    """All-target plane update with shift-after-combine.
-
-    ``planes`` is (None, p1, p2, p3): the three predecessor plane
-    generations, each a tuple/stack of 7 (…, hb, wc) matrices, UNSHIFTED.
-    ``subs`` the per-target substitution planes (0 for the single-consume
-    matrices), ``roll(x, axis)`` a shift-by-one along the given trailing
-    axis (axis 0 = j/sublane, 1 = k/lane) with wraparound.
-
-    Because an elementwise max-plus combine commutes with a translation of
-    all its operands, each target's 7-way grouped combine runs on the
-    unshifted predecessor planes and only the single combined result is
-    shifted into target coordinates — 8 rolls per plane step instead of the
-    7-planes-per-distinct-offset (up to 56) a shift-first formulation needs.
-    Wrapped-in garbage lands only in row 0 / col 0, which the caller's
-    border mask overwrites.  This is the vector analogue of the PE array's
-    diagonal delay registers (reference: src/PE_1cyc.v:80-109) hoisted out
-    of the datapath.
-    """
-    new = []
-    for t in range(NUM_MATRICES):
-        cand = target_update(planes[PLANE_DELTA[t]], groups[t], maximum)
-        dj, dk = SHIFTS[t]
-        if dj:
-            cand = roll(cand, 0)
-        if dk:
-            cand = roll(cand, 1)
-        s = subs[t]
-        if not (isinstance(s, int) and s == 0):
-            cand = cand + s
-        new.append(cand)
-    return new
-
-
 def op_count(scoring: Scoring = Scoring()) -> int:
     """Vector ops per cell of the grouped update (for cost models)."""
     groups = transition_groups(scoring.weight_matrix())

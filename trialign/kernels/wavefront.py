@@ -314,33 +314,6 @@ def prepare_compact(a, b, c, lab, hb, wc):
     return lens, a_ext, b_full, c_full
 
 
-def _prepare(a, b, c, lab, hb, wc):
-    la, lb, lc = len(a), len(b), len(c)
-    qq = lab + hb + wc
-    # ASKREV[r, k] = A[(qq - r) - k] (1-based A), PAD outside [1, la].
-    # The kernel reads the symbol plane for sweep step q as rows
-    # [qq - q, qq - q + hb), giving ap[j, k] = A[q - j - k].
-    ext = np.full(qq + 2, PAD_SYMBOL, dtype=np.int32)
-    ext[1 : la + 1] = np.asarray(a, dtype=np.int32)
-    # +8 rows so the kernel's 8-aligned window load never runs off the end.
-    ridx = np.arange(qq + hb + 8, dtype=np.int64)[:, None]
-    kidx = np.arange(wc, dtype=np.int64)[None, :]
-    u = qq - ridx - kidx
-    askew = np.where((u >= 1) & (u <= la), ext[np.clip(u, 0, qq + 1)], PAD_SYMBOL)
-    askew = askew.astype(np.int32)
-
-    b_col = np.full((hb, 1), PAD_SYMBOL - 1, dtype=np.int32)
-    b_col[1 : lb + 1, 0] = np.asarray(b, dtype=np.int32)
-    c_row = np.full((1, wc), PAD_SYMBOL - 2, dtype=np.int32)
-    c_row[0, 1 : lc + 1] = np.asarray(c, dtype=np.int32)
-    # Full planes (Mosaic prefers natively tiled 2-D operands over
-    # broadcasting (hb,1)/(1,wc) vectors inside the loop).
-    bp = np.broadcast_to(b_col, (hb, wc)).copy()
-    cp = np.broadcast_to(c_row, (hb, wc)).copy()
-    lens = np.array([la, lb, lc], dtype=np.int32)
-    return lens, askew, bp, cp
-
-
 def align_wavefront(
     a, b, c, scoring: Scoring = Scoring(), interpret: bool | None = None
 ) -> int:
