@@ -161,3 +161,19 @@ def test_score_bits_wraparound(rng):
     assert align_planes_numpy(s, s, s) == 120
     wrapped = align_planes_numpy(s, s, s, score_bits=6)  # range [-32, 31]
     assert wrapped != 120 and -32 <= wrapped <= 31
+
+
+def test_determinism_across_runs(rng):
+    """Determinism audit (SURVEY section 5: race detection): repeated
+    evaluation of every backend yields identical integers -- integer
+    max-plus has no reassociation hazard and the kernels introduce no
+    nondeterministic reductions."""
+    from trialign.kernels.blocked import align_blocked
+    from trialign.kernels.wavefront import align_wavefront
+    from trialign.kernels.xla_ref import align_xla
+
+    a, b, c = random_triplet(rng, 12, 22, 30)
+    for fn in (align_xla, align_wavefront, align_blocked):
+        first = fn(a, b, c)
+        for _ in range(2):
+            assert fn(a, b, c) == first

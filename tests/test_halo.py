@@ -39,3 +39,14 @@ def test_halo_eight_devices(rng):
         a, b, c, mesh=make_mesh(data=1, model=8), block_shape=(16, 128)
     )
     assert got == want
+
+
+def test_scaling_efficiency_model():
+    from trialign.dist.halo import scaling_efficiency
+
+    # BASELINE north star: >= 80% efficiency at 2 hosts once the grid is
+    # deep enough (n_jb >= 4 rows for D=2).
+    assert scaling_efficiency(4, 2) == 0.8
+    assert scaling_efficiency(32, 2) > 0.96
+    assert scaling_efficiency(32, 8) > 0.8
+    assert scaling_efficiency(1, 1) == 1.0

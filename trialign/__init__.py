@@ -20,4 +20,12 @@ def __getattr__(name):
         from trialign import api
 
         return getattr(api, name)
+    if name == "align_resilient":
+        from trialign.resilience import align_resilient
+
+        return align_resilient
+    if name == "align_batch_bucketed":
+        from trialign.dist.batch import align_batch_bucketed
+
+        return align_batch_bucketed
     raise AttributeError(f"module 'trialign' has no attribute {name!r}")

@@ -29,6 +29,17 @@ from trialign.config import NUM_MATRICES, PAD_SYMBOL, Scoring
 from trialign.kernels import blocked as BK
 
 
+def scaling_efficiency(n_jb: int, ndev: int) -> float:
+    """Pipeline efficiency of the k-striped block grid on `ndev` chips.
+
+    Block rows pipeline as a second-level wavefront: D devices finish n_jb
+    rows in n_jb + D - 1 steps, so efficiency = n_jb / (n_jb + D - 1)
+    (>= 80% once n_jb >= 4(D-1)); the per-step ICI transfer is one column
+    face per block (8 * sr2 * hb int32, a few MB) against tens of ms of
+    block compute, so bandwidth is not the limit."""
+    return n_jb / (n_jb + ndev - 1)
+
+
 def _plan(la, lb, lc, ndev, hb, wc):
     tb, tc = hb - 1, wc - 1
     n_kb = max(1, -(-lc // tc))

@@ -74,10 +74,12 @@ def score_dtype(scoring: Scoring, qmax: int):
 
     Valid-cell magnitudes are bounded by qmax * (max substitution bonus +
     max gap charge); masked/garbage cells never exceed the running max (a
-    max-plus combine with non-positive weights is non-expansive).  int16
-    planes pack two values per 32-bit VPU lane -- ~2x elementwise
-    throughput -- the software analogue of the RTL's narrow 12-bit
-    datapath (reference: src/TriAlign_1cyc.v:6 SCORE_BITS=12).
+    max-plus combine with non-positive weights is non-expansive).
+
+    int16 is measured NOT to help on v5e: packed int16 compares don't
+    compile, bf16 chains run slower than int32, and int16-storage with
+    int32-compute loses to pure int32 (see experiments/README.md) -- so
+    this returns int32 until a hardware/toolchain where narrow wins.
     """
     step = 3 * max(abs(scoring.match), abs(scoring.mismatch)) + 2 * (
         abs(scoring.gap_open) + abs(scoring.gap_extend)
