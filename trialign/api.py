@@ -39,11 +39,18 @@ def _prep(seq) -> np.ndarray:
     return np.asarray(seq, dtype=np.uint8)
 
 
+BACKENDS = (
+    "auto", "golden", "xla", "pallas", "pallas_interpret", "blocked", "native"
+)
+
+
 def _pick_backend(la: int, lb: int, lc: int) -> str:
     import jax
 
     on_tpu = jax.default_backend() == "tpu"
-    small = lb <= 255 and lc <= 255
+    # The single-block kernel keeps the skewed symbol array VMEM-resident,
+    # so long A also needs the blocked path, not just long B/C.
+    small = lb <= 255 and lc <= 255 and la <= 2048
     if small:
         return "pallas" if on_tpu else "pallas_interpret" if max(lb, lc) <= 64 else "xla"
     return "blocked"
@@ -67,10 +74,13 @@ def align(
     a, b, c = _prep(a), _prep(b), _prep(c)
     la, lb, lc = len(a), len(b), len(c)
     cells = la * lb * lc
+    if backend not in BACKENDS:
+        raise ValueError(f"unknown backend {backend!r}; choose from {BACKENDS}")
 
     if return_alignment:
-        # Alignment recovery: golden cuboid traceback for small problems,
-        # Hirschberg divide-and-conquer for large (see trialign.traceback).
+        # Alignment recovery always runs the Hirschberg engine (the score
+        # backends do not materialize paths); `backend` selects the score
+        # path only and is ignored here.
         from trialign.traceback import hirschberg_align
 
         t0 = time.perf_counter()

@@ -119,20 +119,39 @@ class CheckpointedAligner:
         self.res = np.zeros((8, 1), dtype=np.int32)
 
     # ------------------------------------------------------------------
+    def _fingerprint(self) -> str:
+        """Identity of this exact problem: sequences, scoring, geometry.
+        Resuming someone else's checkpoint would silently corrupt scores."""
+        import hashlib
+
+        h = hashlib.sha256()
+        for arr in (self.a, self.b, self.c):
+            h.update(np.ascontiguousarray(arr, dtype=np.uint8).tobytes())
+        h.update(repr(self.scoring).encode())
+        h.update(repr(self.dims).encode())
+        return h.hexdigest()
+
     def save(self) -> None:
         tmp = self.ckpt_path + ".tmp.npz"
         np.savez_compressed(
             tmp, next_idx=self.next_idx, srf=self.srf, cf=self.cf, res=self.res,
-            lens=self.lens,
+            lens=self.lens, fingerprint=np.frombuffer(
+                self._fingerprint().encode(), dtype=np.uint8
+            ),
         )
         os.replace(tmp, self.ckpt_path)
 
     def resume(self) -> bool:
-        """Load checkpoint state if present and compatible; returns True if
-        resumed."""
+        """Load checkpoint state if present and it belongs to this exact
+        problem (sequence + scoring + geometry fingerprint); returns True
+        if resumed."""
         if not os.path.exists(self.ckpt_path):
             return False
         data = np.load(self.ckpt_path)
+        if "fingerprint" not in data or bytes(
+            data["fingerprint"].tobytes()
+        ).decode() != self._fingerprint():
+            return False
         if data["srf"].shape != self.srf.shape or not np.array_equal(
             data["lens"], self.lens
         ):

@@ -98,10 +98,15 @@ def cmd_batch(args) -> int:
 
     trips = []
     with open(args.tsv) as f:
-        for line in f:
+        for lineno, line in enumerate(f, 1):
+            if not line.strip():
+                continue
             parts = line.split()
             if len(parts) != 3:
-                continue
+                raise SystemExit(
+                    f"{args.tsv}:{lineno}: expected 3 whitespace-separated "
+                    f"sequences, got {len(parts)}"
+                )
             trips.append(tuple(encode(p) for p in parts))
     results = align_batch(trips, scoring=_scoring(args))
     for i, r in enumerate(results):

@@ -150,14 +150,22 @@ def align_batch_padded(
 ) -> List[int]:
     """Align a batch of triplets on the local default device.
 
-    Triplets beyond the single-block kernel's |B|,|C| <= 255 limit route
-    through the blocked (sliced) sweep one by one."""
+    Batches containing triplets beyond the single-block kernel's
+    |B|,|C| <= 255 limit route through the bucketed dispatcher (small
+    buckets stay batched; long ones chain through the blocked sweep).
+    Triplets with an empty sequence score 0 (border-face semantics)."""
     if not triplets:
         return []
+    empty = [i for i, t in enumerate(triplets) if min(map(len, t)) == 0]
+    if empty:
+        keep = [i for i in range(len(triplets)) if min(map(len, triplets[i])) > 0]
+        sub = align_batch_padded([triplets[i] for i in keep], scoring, engine)
+        out = [0] * len(triplets)
+        for i, s in zip(keep, sub):
+            out[i] = s
+        return out
     if max(max(len(t[1]), len(t[2])) for t in triplets) > 255:
-        from trialign.kernels.blocked import align_blocked
-
-        return [align_blocked(a, b, c, scoring) for a, b, c in triplets]
+        return align_batch_bucketed(triplets, scoring)
     lens, askew, bp, cp, lab, hb, wc = prep_padded(triplets)
     if engine is None:
         engine, interpret = _pick_engine()
@@ -248,16 +256,17 @@ def align_batch_bucketed(
     interpret = jax.default_backend() != "tpu"
     small: dict = {}
     large: dict = {}
+    out = [0] * len(triplets)
     for i, (a, b, c) in enumerate(triplets):
         la, lb, lc = len(a), len(b), len(c)
+        if min(la, lb, lc) == 0:
+            continue  # final cell on a zero-border face: score 0
         if lb <= 255 and lc <= 255:
             key = wf.bucket_dims(la, lb, lc)
             small.setdefault(key, []).append(i)
         else:
             key = (-(-la // 128), -(-lb // 128), -(-lc // 128))
             large.setdefault(key, []).append(i)
-
-    out = [0] * len(triplets)
     for key, idxs in small.items():
         scores = align_batch_padded([triplets[i] for i in idxs], scoring)
         for i, s in zip(idxs, scores):

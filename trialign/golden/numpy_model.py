@@ -102,6 +102,14 @@ def align_planes_numpy(
     """
     a, b, c = _as_codes(a), _as_codes(b), _as_codes(c)
     la, lb, lc = len(a), len(b), len(c)
+    if min(la, lb, lc) == 0:
+        # The final cell sits on a zero-border face.
+        if return_cuboid:
+            cuboid = np.zeros(
+                (NUM_MATRICES, la + 1, lb + 1, lc + 1), dtype=np.int32
+            )
+            return 0, cuboid
+        return 0
     w = scoring.weight_matrix().astype(np.int32)
 
     hb, wc = lb + 1, lc + 1

@@ -294,9 +294,6 @@ def _block_sweep(
             wr_col_dma(it_last, slot).wait()
 
 
-_SCRATCH = None  # built per (hb, wc) in the call builders
-
-
 def _scratch_shapes(hb, wc):
     from jax.experimental.pallas import tpu as pltpu
 

@@ -61,9 +61,10 @@ def bucket_dims(la: int, lb: int, lc: int) -> Tuple[int, int, int]:
             break
     wc = _round_up(max(lc + 1, LANE), LANE)
     lab = _round_up(max(la, 64), 64)
-    if hb > 256 or wc > 256:
+    if hb > 256 or wc > 256 or lab > 4096:
         raise ValueError(
-            f"wavefront kernel supports |B|,|C| <= 255; got lb={lb}, lc={lc}. "
+            f"wavefront kernel supports |B|,|C| <= 255 and |A| <= 4096 "
+            f"(VMEM-resident symbol skew); got {la}/{lb}/{lc}. "
             "Use the blocked backend."
         )
     return lab, hb, wc

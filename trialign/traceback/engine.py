@@ -145,11 +145,8 @@ def forward_sweep(
         p1 = planes[(q - 1) % 4]
         p2 = planes[(q - 2) % 4] if q >= 2 else np.full_like(p1, fill)
         p3 = planes[(q - 3) % 4] if q >= 3 else np.full_like(p1, fill)
-        if not free and q <= 3:
-            # For shallow q the ring still holds stale NEG planes; that's
-            # already the wall value, nothing to fix.
-            pass
-
+        # (For shallow q the ring still holds stale init planes; their fill
+        # is already the correct wall/border value.)
         i_grid = q - jk
         ai = a[np.clip(i_grid - 1, 0, max(la - 1, 0))] if la else np.full((hb, wc), -9, np.int32)
         ai = np.where((i_grid >= 1) & (i_grid <= la), ai, -9)
