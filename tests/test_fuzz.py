@@ -1,0 +1,58 @@
+"""Seeded randomized cross-backend parity sweep.
+
+Every compute path must produce the identical integer on every input: the
+golden vectorized sweep is itself validated against the O(49 n^3) brute
+force (test_golden), so here it serves as the oracle for the compiled
+backends across random shapes, scorings, and both S3 modes.
+"""
+
+import numpy as np
+import pytest
+
+from trialign.config import Scoring
+from trialign.golden import align_planes_numpy
+from tests.conftest import random_triplet
+
+
+SCORINGS = [
+    Scoring(),
+    Scoring(s3_mode="rtl"),
+    Scoring(match=2, mismatch=-3, gap_open=4, gap_extend=1),
+    Scoring(match=3, mismatch=0, gap_open=1, gap_extend=1),  # go == ge: single group
+]
+
+
+@pytest.mark.slow
+def test_fuzz_backends_50_cases(rng):
+    from trialign.kernels.blocked import align_blocked
+    from trialign.kernels.wavefront import align_wavefront
+    from trialign.kernels.xla_ref import align_xla
+    from trialign.native import score_native
+
+    for trial in range(50):
+        la, lb, lc = (int(x) for x in rng.integers(1, 48, size=3))
+        a, b, c = random_triplet(rng, la, lb, lc, nsym=int(rng.integers(2, 6)))
+        sc = SCORINGS[trial % len(SCORINGS)]
+        want = align_planes_numpy(a, b, c, sc)
+        assert align_xla(a, b, c, sc) == want, (trial, "xla")
+        assert align_wavefront(a, b, c, sc) == want, (trial, "wavefront")
+        assert score_native(a, b, c, sc) == want, (trial, "native")
+        if trial % 5 == 0:
+            assert align_blocked(a, b, c, sc, block_shape=(16, 128)) == want
+
+
+@pytest.mark.slow
+def test_fuzz_traceback_20_cases(rng):
+    from trialign.golden.numpy_model import rescore_alignment
+    from trialign.traceback.hirschberg import hirschberg_align
+
+    for trial in range(20):
+        la, lb, lc = (int(x) for x in rng.integers(2, 36, size=3))
+        a, b, c = random_triplet(rng, la, lb, lc)
+        sc = SCORINGS[trial % 2]
+        want = align_planes_numpy(a, b, c, sc)
+        score, rows = hirschberg_align(a, b, c, sc)
+        assert score == want, trial
+        assert rescore_alignment(rows, sc) == want, trial
+        for row, seq in zip(rows, (a, b, c)):
+            assert [v for v in row if v != -1] == list(map(int, seq))
