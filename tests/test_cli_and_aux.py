@@ -185,3 +185,20 @@ def test_align_resilient_gives_up(rng, tmp_path, monkeypatch):
             interpret=True,
             block_shape=(16, 128),
         )
+
+
+def test_cli_align_fasta_triplet(tmp_path, capsys):
+    from trialign.cli import main
+
+    fa = tmp_path / "trip.fa"
+    fa.write_text(">A\nACGTACGT\n>B\nACG\nTCGT\n>C\nACGTAGT\n")
+    rc = main(["align", "--fasta", str(fa), "--backend", "golden", "--json"])
+    assert rc == 0
+    import json
+
+    out = json.loads(capsys.readouterr().out)
+    from trialign.golden import align_planes_numpy
+    from trialign.config import encode
+
+    want = align_planes_numpy(encode("ACGTACGT"), encode("ACGTCGT"), encode("ACGTAGT"))
+    assert out["score"] == want

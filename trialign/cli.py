@@ -40,6 +40,25 @@ def _load_seq(inline, path):
     return encode(next(iter(seqs.values())))
 
 
+def _load_triplet(args):
+    """Three sequences from inline flags, per-sequence files, or one
+    3-record FASTA (--fasta)."""
+    if getattr(args, "fasta", None):
+        from trialign.io import read_fasta
+
+        seqs = read_fasta(args.fasta)
+        if len(seqs) != 3:
+            raise SystemExit(
+                f"{args.fasta}: expected exactly 3 FASTA records, got {len(seqs)}"
+            )
+        return tuple(encode(s) for s in seqs.values())
+    return (
+        _load_seq(args.a, args.a_file),
+        _load_seq(args.b, args.b_file),
+        _load_seq(args.c, args.c_file),
+    )
+
+
 def _scoring(args) -> Scoring:
     return Scoring(
         match=args.match,
@@ -62,9 +81,7 @@ def cmd_align(args) -> int:
     from trialign.api import align
     from trialign.metrics import device_summary
 
-    a = _load_seq(args.a, args.a_file)
-    b = _load_seq(args.b, args.b_file)
-    c = _load_seq(args.c, args.c_file)
+    a, b, c = _load_triplet(args)
     res = align(
         a, b, c, scoring=_scoring(args), backend=args.backend,
         return_alignment=args.alignment,
@@ -200,6 +217,7 @@ def main(argv=None) -> int:
     p.add_argument("--a-file")
     p.add_argument("--b-file")
     p.add_argument("--c-file")
+    p.add_argument("--fasta", help="one FASTA file with exactly 3 records")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "golden", "xla", "pallas", "pallas_interpret", "blocked", "native"])
     p.add_argument("--alignment", action="store_true", help="recover the alignment")

@@ -164,7 +164,7 @@ def align_sharded_triplet(
     ndev = mesh.shape["model"]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    hb, wc = block_shape if block_shape else (BK.DEF_HB, BK.DEF_WC)
+    hb, wc = block_shape if block_shape else BK.choose_block_shape(la, lb, lc)
     dims, n_kb_local = _plan(la, lb, lc, ndev, hb, wc)
     _, _, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2 = dims
 
