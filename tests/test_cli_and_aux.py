@@ -202,3 +202,24 @@ def test_cli_align_fasta_triplet(tmp_path, capsys):
 
     want = align_planes_numpy(encode("ACGTACGT"), encode("ACGTCGT"), encode("ACGTAGT"))
     assert out["score"] == want
+
+
+def test_benchmarks_helpers_cpu_smoke():
+    """benchmarks module runs end-to-end on CPU (interpret kernels)."""
+    from trialign.benchmarks import bench_single_stream, parity_check
+
+    assert isinstance(parity_check(), int)
+    gcups, dt = bench_single_stream(12, 2)
+    assert gcups > 0 and dt > 0
+
+
+def test_wavefront_rejects_oversize():
+    import numpy as np
+    import pytest
+
+    from trialign.kernels.wavefront import bucket_dims
+
+    with pytest.raises(ValueError):
+        bucket_dims(64, 300, 64)  # |B| > 255
+    with pytest.raises(ValueError):
+        bucket_dims(5000, 64, 64)  # |A| beyond the VMEM-resident skew
