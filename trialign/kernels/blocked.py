@@ -61,7 +61,7 @@ def _round_up(x, m):
 
 
 def choose_block_shape(la: int, lb: int, lc: int,
-                       vmem_budget: int = 15 * 2**20) -> Tuple[int, int]:
+                       vmem_budget: int = 13 * 2**20) -> Tuple[int, int]:
     """Pick (hb, wc) minimizing total plane-work n_jb*n_kb*qqb*hb*wc under
     the VMEM budget.  The sweep is ALU-bound, so total vector work is the
     cost model; padding waste from ceil(lb/tb) is what this avoids (e.g.
@@ -81,8 +81,9 @@ def choose_block_shape(la: int, lb: int, lc: int,
             n_kb = max(1, -(-lc // tc))
             qqb = _round_up(lab + tb + tc, UNB)
             # Live plane count measured on v5e: 16 carried + ~2 per unrolled
-            # step of Mosaic stack temporaries; plus askew + window + rings.
-            vmem = ((16 + 2 * UNB) * hb * wc + (qqb + 2 * hb + 2 * UNB) * wc
+            # step of Mosaic stack temporaries; plus the DMA rings (the
+            # symbol skew lives in HBM and streams through a 2-slot ring).
+            vmem = ((16 + 2 * UNB) * hb * wc + 2 * (hb + UNB) * wc
                     + 2 * 8 * UNB * (2 * wc + 2 * hbp + hb)) * 4
             if vmem > vmem_budget:
                 continue
@@ -130,8 +131,10 @@ def _block_sweep(
     st_r,
     st_c,
     st_ct,
+    ak_buf,
     rd_sem,
     wr_sem,
+    ak_sem,
 ):
     """One block pillar's full q-sweep (shared by the per-call and fused-grid
     kernels).  ``scalars`` = (jb, kb, qstar, jlstar, klstar) traced int32;
@@ -184,9 +187,18 @@ def _block_sweep(
             st_ct.at[slot], cf_out.at[jb, pl.ds(fr, FROWS)], wr_sem.at[1, slot]
         )
 
+    def ak_dma(it, slot):
+        # Symbol window for macro it: rows [qqb - UNB*(it+1), +hb+UNB).
+        # The askew array lives in HBM so |A| is bounded by HBM, not VMEM.
+        base = pl.multiple_of(qqb - UNB * it - UNB, 8)
+        return pltpu.make_async_copy(
+            askew_ref.at[pl.ds(base, hb + UNB)], ak_buf.at[slot], ak_sem.at[slot]
+        )
+
     # Warm up the read pipeline.
     rd_row_dma(0, 0).start()
     rd_col_dma(0, 0).start()
+    ak_dma(0, 0).start()
 
     def roll1(x, axis):
         return pltpu.roll(x, 1, axis)
@@ -204,21 +216,22 @@ def _block_sweep(
 
         rd_row_dma(it, slot).wait()
         rd_col_dma(it, slot).wait()
+        ak_dma(it, slot).wait()
 
         @pl.when(it + 1 < nmac)
         def _():
             nslot = jax.lax.rem(it + 1, 2)
             rd_row_dma(it + 1, nslot).start()
             rd_col_dma(it + 1, nslot).start()
+            ak_dma(it + 1, nslot).start()
 
         rowbuf = rb_r[slot]  # (64, wc): rows 8u+t
         # Column face arrives matrix-major (64, hb); one transpose per
         # macro gives (hb, 64) with per-step static lane slices.
         colbuf = jnp.swapaxes(rb_c[slot], 0, 1)  # (hb, 64)
 
-        # Shared aligned symbol window for the UNB steps.
-        base = pl.multiple_of(qqb - UNB * it - UNB, UNB)
-        win = askew_ref[pl.ds(base, hb + UNB), :]
+        # Shared aligned symbol window for the UNB steps (DMA'd from HBM).
+        win = ak_buf[slot]
 
         for u in range(UNB):
             q = UNB * it + u + 1
@@ -304,8 +317,10 @@ def _scratch_shapes(hb, wc):
         pltpu.VMEM((2, FROWS, wc), jnp.int32),  # st_r
         pltpu.VMEM((2, hb, FROWS), jnp.int32),  # st_c
         pltpu.VMEM((2, FROWS, hbp), jnp.int32),  # st_ct
-        pltpu.SemaphoreType.DMA((2, 2)),
-        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.VMEM((2, hb + UNB, wc), jnp.int32),  # ak_buf
+        pltpu.SemaphoreType.DMA((2, 2)),  # rd_sem
+        pltpu.SemaphoreType.DMA((2, 2)),  # wr_sem
+        pltpu.SemaphoreType.DMA((2,)),  # ak_sem
     ]
 
 
@@ -338,7 +353,7 @@ def make_block_call(dims: Tuple, n_srf_slabs: int, n_cf_slabs: int, scoring: Sco
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # askew
+            pl.BlockSpec(memory_space=pltpu.HBM),  # askew (DMA'd per macro)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bp
             pl.BlockSpec(memory_space=pltpu.VMEM),  # cp
             pl.BlockSpec(memory_space=pltpu.VMEM),  # zeros
@@ -397,7 +412,7 @@ def make_grid_call(dims: Tuple, scoring: Scoring, interpret: bool):
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((arows, wc), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # askew (DMA'd per macro)
             pl.BlockSpec((1, hb, wc), lambda i: (i // n_kb, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hb, wc), lambda i: (i % n_kb, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((hb, wc), lambda i: (0, 0), memory_space=pltpu.VMEM),
