@@ -47,6 +47,8 @@ def main():
         log(f"blocked 1k^3: {bdt*1e3:.1f} ms/alignment -> {blocked_gcups:.2f} GCUPS")
         g512, dt512 = bench_blocked(512, 8, scoring)
         log(f"blocked 512^3 (reference headline size): {dt512*1e3:.2f} ms -> {g512:.2f} GCUPS")
+        g2k, dt2k = bench_blocked(2048, 2, scoring)
+        log(f"blocked 2048^3: {dt2k*1e3:.1f} ms -> {g2k:.2f} GCUPS")
         single_gcups, sdt = bench_single_stream(255, 16, scoring)
         log(f"single-stream 255^3: {sdt*1e3:.2f} ms -> {single_gcups:.2f} GCUPS")
         batch_gcups, tdt = bench_batch(255, 16, scoring)
@@ -56,6 +58,7 @@ def main():
         extra = {
             "blocked_512_gcups": round(g512, 3),
             "blocked_512_ms": round(dt512 * 1e3, 2),
+            "blocked_2048_gcups": round(g2k, 3),
             "single_stream_255_gcups": round(single_gcups, 3),
             "batch_end_to_end_gcups": round(batch_gcups, 3),
             "reference_asic_512_ms": 10.82,
