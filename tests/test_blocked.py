@@ -15,16 +15,14 @@ from tests.conftest import random_triplet
 
 
 def test_plan_dims_geometry():
-    from trialign.kernels.blocked import SOFF, UNB
-
-    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, s1, s2 = plan_dims(300, 300, 300)
+    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, s1, s2, unb = plan_dims(300, 300, 300)
     assert (hb, wc) == (256, 256)
     assert n_jb == 2 and n_kb == 2  # ceil(300/255)
-    assert qqb % UNB == 0 and qqb >= lab + 255 + 255
+    assert qqb % unb == 0 and qqb >= lab + 255 + 255
     # Face rows are slab-local (q + guard); must cover the last macro-step's
-    # full 8-row batch.
-    assert s1 >= qqb + SOFF + UNB
-    assert s2 >= qqb + SOFF + UNB
+    # full batch.
+    assert s1 >= qqb + 2 * unb
+    assert s2 >= qqb + 2 * unb
 
 
 def test_blocked_multiblock_j(rng):

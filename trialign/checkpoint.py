@@ -28,10 +28,10 @@ from trialign.kernels import blocked as BK
 )
 def _segment(lens, a_ext, b_arr, c_arr, srf, cf, res, idx0, dims, count, scoring, interpret):
     """Run `count` consecutive blocks starting at flat index idx0."""
-    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, s1, s2 = dims
+    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, s1, s2, unb = dims
     tb, tc = hb - 1, wc - 1
     la, lb, lc = lens[0], lens[1], lens[2]
-    askew = BK._build_askew_blocked(a_ext, qqb, hb, wc)
+    askew = BK._build_askew_blocked(a_ext, qqb, hb, wc, unb)
     zeros = jnp.zeros((hb, wc), jnp.int32)
     block_call = BK.make_block_call(dims, n_kb, n_jb, scoring, interpret)
 
@@ -100,10 +100,14 @@ class CheckpointedAligner:
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
-        hb, wc = block_shape if block_shape else (BK.DEF_HB, BK.DEF_WC)
-        self.dims = BK.plan_dims(len(a), len(b), len(c), hb, wc)
+        if block_shape:
+            hb, wc = block_shape[0], block_shape[1]
+            unb = block_shape[2] if len(block_shape) > 2 else BK.DEF_UNB
+        else:
+            hb, wc, unb = BK.choose_block_shape(len(a), len(b), len(c))
+        self.dims = BK.plan_dims(len(a), len(b), len(c), hb, wc, unb)
 
-        hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, s1, s2 = self.dims
+        hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, s1, s2, unb = self.dims
         self.n_blocks = n_jb * n_kb
         self.a_ext = np.full(lab + 2, PAD_SYMBOL, dtype=np.int32)
         self.a_ext[1 : len(a) + 1] = self.a

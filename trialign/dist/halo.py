@@ -40,12 +40,12 @@ def scaling_efficiency(n_jb: int, ndev: int) -> float:
     return n_jb / (n_jb + ndev - 1)
 
 
-def _plan(la, lb, lc, ndev, hb, wc):
+def _plan(la, lb, lc, ndev, hb, wc, unb):
     tb, tc = hb - 1, wc - 1
     n_kb = max(1, -(-lc // tc))
     n_kb = -(-n_kb // ndev) * ndev  # pad to a multiple of the stripe count
     # Recompute dims with the padded k extent so faces/symbols cover it.
-    dims = BK.plan_dims(la, lb, max(lc, n_kb * tc), hb, wc)
+    dims = BK.plan_dims(la, lb, max(lc, n_kb * tc), hb, wc, unb)
     return dims, n_kb // ndev
 
 
@@ -54,7 +54,7 @@ def _plan(la, lb, lc, ndev, hb, wc):
     static_argnames=("dims", "n_kb_local", "ndev", "scoring", "interpret", "mesh"),
 )
 def _halo_core(lens, a_ext, b_arr, c_arr, dims, n_kb_local, ndev, scoring, interpret, mesh):
-    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2 = dims
+    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims
     tb, tc = hb - 1, wc - 1
     la, lb, lc = lens[0], lens[1], lens[2]
     block_call = BK.make_block_call(dims, n_kb_local, 1, scoring, interpret)
@@ -66,7 +66,7 @@ def _halo_core(lens, a_ext, b_arr, c_arr, dims, n_kb_local, ndev, scoring, inter
 
     def device_fn(lens, a_ext, b_arr, c_arr):
         d = jax.lax.axis_index("model")
-        askew = BK._build_askew_blocked(a_ext, qqb, hb, wc)
+        askew = BK._build_askew_blocked(a_ext, qqb, hb, wc, unb)
         zeros = jnp.zeros((hb, wc), jnp.int32)
 
         srf0 = jnp.zeros((n_kb_local, 8 * sr1, wc), jnp.int32)
@@ -164,9 +164,13 @@ def align_sharded_triplet(
     ndev = mesh.shape["model"]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    hb, wc = block_shape if block_shape else BK.choose_block_shape(la, lb, lc)
-    dims, n_kb_local = _plan(la, lb, lc, ndev, hb, wc)
-    _, _, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2 = dims
+    if block_shape:
+        hb, wc = block_shape[0], block_shape[1]
+        unb = block_shape[2] if len(block_shape) > 2 else BK.DEF_UNB
+    else:
+        hb, wc, unb = BK.choose_block_shape(la, lb, lc)
+    dims, n_kb_local = _plan(la, lb, lc, ndev, hb, wc, unb)
+    _, _, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims
 
     a_ext = np.full(lab + 2, PAD_SYMBOL, dtype=np.int32)
     a_ext[1 : la + 1] = a

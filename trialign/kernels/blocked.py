@@ -48,12 +48,11 @@ from trialign.kernels.plane_math import (
 
 DEF_HB = 256  # default plane rows (j): halo + Tb cells
 DEF_WC = 256  # default plane cols (k): halo + Tc cells
-UNB = 8  # q-loop macro-step (planes per iteration; multiple of 8).
-# UNB=16 halves per-macro overhead but costs ~2 extra live planes per
-# unrolled step, shrinking the feasible block-shape set enough to lose
-# net throughput at 2k^3/4k^3 (measured).
-SOFF = UNB  # face-row guard band (absorbs ramp-up writes)
-FROWS = 8 * UNB  # flat slab rows per macro batch
+# Default q-loop macro-step (planes per unrolled iteration; multiple of 8).
+# Larger macro-steps amortize per-macro overhead (DMA waits, transposes)
+# but cost ~2 extra live planes of VMEM per unrolled step, shrinking the
+# feasible block-shape set -- so the planner picks 8 or 16 per problem.
+DEF_UNB = 8
 
 
 def _round_up(x, m):
@@ -61,56 +60,63 @@ def _round_up(x, m):
 
 
 def choose_block_shape(la: int, lb: int, lc: int,
-                       vmem_budget: int = 13 * 2**20) -> Tuple[int, int]:
-    """Pick (hb, wc) minimizing total plane-work n_jb*n_kb*qqb*hb*wc under
-    the VMEM budget.  The sweep is ALU-bound, so total vector work is the
-    cost model; padding waste from ceil(lb/tb) is what this avoids (e.g.
-    1024/255 -> 5 block rows where 1024/263 -> 4)."""
+                       vmem_budget: int = 13 * 2**20) -> Tuple[int, int, int]:
+    """Pick (hb, wc, unb) minimizing total plane-work under the VMEM budget.
+
+    The sweep is ALU-bound, so total vector work is the cost model; padding
+    waste from ceil(lb/tb) is what this avoids (e.g. 1024/255 -> 5 block
+    rows where 1024/263 -> 4).  The macro-step unb trades per-macro
+    overhead (the fixed term) against ~2 live planes of VMEM per unrolled
+    step."""
     best = None
     lab = _round_up(max(la, 16), 16)
-    # Measured per-plane cost model on v5e: fixed overhead ~20k
-    # cell-equivalents plus per-cell work whose efficiency depends on the
-    # lane width (narrow planes pay relatively more roll/loop overhead).
-    FIXED_CELLS = 20000
-    EFF = {128: 1.30, 256: 1.08, 384: 1.00, 512: 1.00}
-    for hb in range(128, 513, 8):
-        for wc in (128, 256, 384, 512):
-            tb, tc = hb - 1, wc - 1
-            hbp = _round_up(hb, 128)
-            n_jb = max(1, -(-lb // tb))
-            n_kb = max(1, -(-lc // tc))
-            qqb = _round_up(lab + tb + tc, UNB)
-            # Live plane count measured on v5e: 16 carried + ~2 per unrolled
-            # step of Mosaic stack temporaries; plus the DMA rings (the
-            # symbol skew lives in HBM and streams through a 2-slot ring).
-            vmem = ((16 + 2 * UNB) * hb * wc + 2 * (hb + UNB) * wc
-                    + 2 * 8 * UNB * (2 * wc + 2 * hbp + hb)) * 4
-            if vmem > vmem_budget:
-                continue
-            work = n_jb * n_kb * qqb * (hb * wc * EFF[wc] + FIXED_CELLS)
-            if best is None or work < best[0]:
-                best = (work, hb, wc)
+    # Measured per-plane cost model on v5e: fixed overhead ~20k cell-
+    # equivalents at unb=8 (halved at 16), plus per-cell work whose
+    # efficiency depends on the lane width (narrow planes pay relatively
+    # more roll/loop overhead).
+    EFF = {128: 2.00, 256: 1.08, 384: 1.00, 512: 1.00}
+    for unb in (8, 16):
+        fixed = 20000 * 8 // unb
+        for hb in range(128, 513, 8):
+            for wc in (128, 256, 384, 512):
+                tb, tc = hb - 1, wc - 1
+                hbp = _round_up(hb, 128)
+                n_jb = max(1, -(-lb // tb))
+                n_kb = max(1, -(-lc // tc))
+                qqb = _round_up(lab + tb + tc, unb)
+                # Live plane count measured on v5e: 16 carried + ~2 per
+                # unrolled step of Mosaic stack temporaries; plus the DMA
+                # rings (the symbol skew streams from HBM).
+                vmem = ((16 + 2 * unb) * hb * wc + 2 * (hb + unb) * wc
+                        + 2 * 8 * unb * (2 * wc + 2 * hbp + hb)) * 4
+                if vmem > vmem_budget:
+                    continue
+                work = n_jb * n_kb * qqb * (hb * wc * EFF[wc] + fixed)
+                if best is None or work < best[0]:
+                    best = (work, hb, wc, unb)
     if best is None:
-        return (DEF_HB, DEF_WC)
-    return (best[1], best[2])
+        return (DEF_HB, DEF_WC, DEF_UNB)
+    return (best[1], best[2], best[3])
 
 
-def plan_dims(la: int, lb: int, lc: int, hb: int = DEF_HB, wc: int = DEF_WC) -> Tuple:
+def plan_dims(la: int, lb: int, lc: int, hb: int = DEF_HB, wc: int = DEF_WC,
+              unb: int = DEF_UNB) -> Tuple:
     """Static geometry for a blocked alignment, as a hashable tuple:
-    (hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2).
+    (hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb).
 
     sr1/sr2 are FACE-ROW counts (flat slab rows = 8 * sr); rows are
-    slab-local (indexed by sweep step q plus the SOFF guard)."""
+    slab-local (indexed by sweep step q plus the guard band of unb rows).
+    ``unb`` is the macro-step (planes per unrolled loop iteration)."""
     tb, tc = hb - 1, wc - 1
     lab = _round_up(max(la, 16), 16)
     n_jb = max(1, -(-lb // tb))
     n_kb = max(1, -(-lc // tc))
-    qqb = _round_up(lab + tb + tc, UNB)  # planes per block sweep (padded)
+    qqb = _round_up(lab + tb + tc, unb)  # planes per block sweep (padded)
     kdim = _round_up(n_kb * tc + wc + 1, 128)  # B/C symbol array extents
     jdim = _round_up(n_jb * tb + hb + 1, 8)
-    sr1 = qqb + SOFF + UNB + 2  # row-face rows: q + SOFF
-    sr2 = qqb + SOFF + UNB + 2  # col-face rows: q + SOFF
-    return (hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2)
+    sr1 = qqb + 2 * unb + 2  # row-face rows: q + guard
+    sr2 = qqb + 2 * unb + 2  # col-face rows: q + guard
+    return (hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb)
 
 
 def _block_sweep(
@@ -142,7 +148,9 @@ def _block_sweep(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2 = dims
+    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, UNB = dims
+    SOFF = UNB  # face-row guard band (absorbs ramp-up writes)
+    FROWS = 8 * UNB  # flat slab rows per macro batch
     tb, tc = hb - 1, wc - 1
     hbp = _round_up(hb, 128)  # cf slab minor dim (HBM DMA: 128-aligned)
     w = scoring.weight_matrix()
@@ -307,17 +315,18 @@ def _block_sweep(
             wr_col_dma(it_last, slot).wait()
 
 
-def _scratch_shapes(hb, wc):
+def _scratch_shapes(hb, wc, unb):
     from jax.experimental.pallas import tpu as pltpu
 
     hbp = _round_up(hb, 128)
+    frows = 8 * unb
     return [
-        pltpu.VMEM((2, FROWS, wc), jnp.int32),  # rb_r
-        pltpu.VMEM((2, FROWS, hbp), jnp.int32),  # rb_c
-        pltpu.VMEM((2, FROWS, wc), jnp.int32),  # st_r
-        pltpu.VMEM((2, hb, FROWS), jnp.int32),  # st_c
-        pltpu.VMEM((2, FROWS, hbp), jnp.int32),  # st_ct
-        pltpu.VMEM((2, hb + UNB, wc), jnp.int32),  # ak_buf
+        pltpu.VMEM((2, frows, wc), jnp.int32),  # rb_r
+        pltpu.VMEM((2, frows, hbp), jnp.int32),  # rb_c
+        pltpu.VMEM((2, frows, wc), jnp.int32),  # st_r
+        pltpu.VMEM((2, hb, frows), jnp.int32),  # st_c
+        pltpu.VMEM((2, frows, hbp), jnp.int32),  # st_ct
+        pltpu.VMEM((2, hb + unb, wc), jnp.int32),  # ak_buf
         pltpu.SemaphoreType.DMA((2, 2)),  # rd_sem
         pltpu.SemaphoreType.DMA((2, 2)),  # wr_sem
         pltpu.SemaphoreType.DMA((2,)),  # ak_sem
@@ -346,7 +355,7 @@ def make_block_call(dims: Tuple, n_srf_slabs: int, n_cf_slabs: int, scoring: Sco
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2 = dims
+    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims
     kernel = _make_block_kernel(dims, scoring)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -365,7 +374,7 @@ def make_block_call(dims: Tuple, n_srf_slabs: int, n_cf_slabs: int, scoring: Sco
             pl.BlockSpec(memory_space=pltpu.HBM),  # cf (aliased)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # out
         ),
-        scratch_shapes=_scratch_shapes(hb, wc),
+        scratch_shapes=_scratch_shapes(hb, wc, unb),
     )
 
     return pl.pallas_call(
@@ -402,8 +411,7 @@ def make_grid_call(dims: Tuple, scoring: Scoring, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2 = dims
-    arows = qqb + hb + UNB
+    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims
     kernel = _make_grid_kernel(dims, scoring)
     n_blocks = n_jb * n_kb
 
@@ -431,16 +439,16 @@ def make_grid_call(dims: Tuple, scoring: Scoring, interpret: bool):
         ),
         input_output_aliases={5: 0, 6: 1},
         interpret=interpret,
-        scratch_shapes=_scratch_shapes(hb, wc),
+        scratch_shapes=_scratch_shapes(hb, wc, unb),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
 
 
-def _build_askew_blocked(a_ext, qqb, hb, wc):
-    """ASKREV[r, k] = A[(qqb - r) - k] over a (qqb+hb+UNB, wc) grid."""
+def _build_askew_blocked(a_ext, qqb, hb, wc, unb=DEF_UNB):
+    """ASKREV[r, k] = A[(qqb - r) - k] over a (qqb+hb+unb, wc) grid."""
     from trialign.kernels.wavefront import build_askew
 
-    return build_askew(a_ext, qqb, qqb + hb + UNB, wc)
+    return build_askew(a_ext, qqb, qqb + hb + unb, wc)
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "scoring", "interpret"))
@@ -449,10 +457,10 @@ def _blocked_core_scan(lens, a_ext, b_arr, c_arr, dims, scoring, interpret):
     interpret mode, where the fused grid's input/output aliasing is not
     threaded across grid steps (each step would see the original input
     snapshot instead of earlier blocks' face writes)."""
-    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2 = dims
+    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims
     tb, tc = hb - 1, wc - 1
     la, lb, lc = lens[0], lens[1], lens[2]
-    askew = _build_askew_blocked(a_ext, qqb, hb, wc)
+    askew = _build_askew_blocked(a_ext, qqb, hb, wc, unb)
     zeros = jnp.zeros((hb, wc), jnp.int32)
     block_call = make_block_call(dims, n_kb, n_jb, scoring, interpret)
 
@@ -503,11 +511,11 @@ def _blocked_core_scan(lens, a_ext, b_arr, c_arr, dims, scoring, interpret):
 def _blocked_core(lens, a_ext, b_arr, c_arr, dims, scoring, interpret):
     if interpret:
         return _blocked_core_scan(lens, a_ext, b_arr, c_arr, dims, scoring, interpret)
-    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2 = dims
+    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims
     tb, tc = hb - 1, wc - 1
     la, lb, lc = lens[0], lens[1], lens[2]
     n_blocks = n_jb * n_kb
-    askew = _build_askew_blocked(a_ext, qqb, hb, wc)
+    askew = _build_askew_blocked(a_ext, qqb, hb, wc, unb)
     zeros = jnp.zeros((hb, wc), jnp.int32)
 
     # Target block containing the global final cell (lb, lc).
@@ -574,9 +582,13 @@ def align_blocked(
         return 0
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    hb, wc = block_shape if block_shape else choose_block_shape(la, lb, lc)
-    dims = plan_dims(la, lb, lc, hb, wc)
-    _, _, lab, _, _, _, kdim, jdim, _, _ = dims
+    if block_shape:
+        hb, wc = block_shape[0], block_shape[1]
+        unb = block_shape[2] if len(block_shape) > 2 else DEF_UNB
+    else:
+        hb, wc, unb = choose_block_shape(la, lb, lc)
+    dims = plan_dims(la, lb, lc, hb, wc, unb)
+    _, _, lab, _, _, _, kdim, jdim, _, _, _ = dims
 
     a_ext = np.full(lab + 2, PAD_SYMBOL, dtype=np.int32)
     a_ext[1 : la + 1] = a
