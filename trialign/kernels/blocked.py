@@ -75,7 +75,7 @@ def choose_block_shape(la: int, lb: int, lc: int,
     # efficiency depends on the lane width (narrow planes pay relatively
     # more roll/loop overhead).
     EFF = {128: 2.00, 256: 1.08, 384: 1.00, 512: 1.00}
-    for unb in (8, 16):
+    for unb in (8, 16, 24):
         fixed = 20000 * 8 // unb
         for hb in range(128, 513, 8):
             for wc in (128, 256, 384, 512):
