@@ -54,3 +54,12 @@ def test_blocked_nondefault_scoring(rng):
 def test_blocked_empty():
     e = np.zeros(0, dtype=np.uint8)
     assert align_blocked(e, e, e) == 0
+
+
+def test_blocked_nondefault_macro_step(rng):
+    """The macro-step (unb) is a plan parameter; a 16-plane macro must give
+    identical scores to the default."""
+    a, b, c = random_triplet(rng, 10, 40, 50)
+    want = align_planes_numpy(a, b, c)
+    got = align_blocked(a, b, c, interpret=True, block_shape=(16, 128, 16))
+    assert got == want
