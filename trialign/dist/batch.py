@@ -207,8 +207,14 @@ def _chained_blocked_fn(dims, scoring, count, interpret):
 
 
 def _blocked_group(triplets, scoring, interpret, chain=8):
-    """Score triplets sharing a block geometry, `chain` per dispatch."""
+    """Score triplets sharing a block geometry, `chain` per dispatch.
+
+    Chain-batches round-robin across the local devices: dispatch is async,
+    so independent chains overlap on a multi-chip host (on one chip this
+    degenerates to sequential execution)."""
     from trialign.kernels import blocked as BK
+
+    devices = jax.local_devices()
 
     la = max(len(t[0]) for t in triplets)
     lb = max(len(t[1]) for t in triplets)
@@ -226,18 +232,22 @@ def _blocked_group(triplets, scoring, interpret, chain=8):
         c_arr = np.full(kdim + wc + 8, PAD_SYMBOL - 2, np.int32)
         c_arr[1 : len(c) + 1] = c
         lens = np.array([len(a), len(b), len(c)], np.int32)
-        return tuple(jnp.asarray(x) for x in (lens, a_ext, b_arr, c_arr))
+        return (lens, a_ext, b_arr, c_arr)
 
-    scores: List[int] = []
     n = len(triplets)
-    for off in range(0, n, chain):
+    pending = []  # (device result, real count)
+    for ci, off in enumerate(range(0, n, chain)):
         grp = list(triplets[off : off + chain])
         real = len(grp)
         while len(grp) < min(chain, n):  # pad the tail: one compile per dims
             grp.append(grp[0])
         fn = _chained_blocked_fn(dims, scoring, len(grp), interpret)
-        flat = [x for t in grp for x in prep(*t)]
-        scores.extend(int(s) for s in jax.device_get(fn(*flat))[:real])
+        dev = devices[ci % len(devices)]
+        flat = [jax.device_put(x, dev) for t in grp for x in prep(*t)]
+        pending.append((fn(*flat), real))  # async dispatch; overlaps chips
+    scores: List[int] = []
+    for out, real in pending:
+        scores.extend(int(s) for s in jax.device_get(out)[:real])
     return scores
 
 
