@@ -12,22 +12,22 @@ a row-face slab is only ever read/written by blocks of one block-column kb,
 so the global k offset cancels.
 
 Design notes:
-* The q-loop runs in macro-steps of UNB=8 planes.  Per macro-step: one read
-  DMA per face brings 8 face rows (a (64, wc) flat slice) into a
-  double-buffered VMEM ring; the column face is transposed once per macro
-  (not per plane); the symbol window is loaded once and each unrolled step
-  takes a static row slice (qqb is a multiple of UNB so the sublane residue
-  is compile-time); face writes stage into (64, wc)/(hb, 64) scratch and
-  ship as one DMA per face per macro.  Face-row index 0..SOFF-1 is a guard
-  band so ramp-up writes (q <= tb) land unconditionally without branches.
+* The q-loop runs in macro-steps of `unb` planes (8/16/24, planner-chosen
+  per problem).  Per macro-step: one read DMA per face brings unb face rows
+  into a double-buffered VMEM ring; the column face is transposed once per
+  macro (not per plane); the symbol window is DMA'd from HBM once and each
+  unrolled step takes a static row slice (qqb is a multiple of unb so the
+  sublane residue is compile-time); face writes stage into scratch and ship
+  as one DMA per face per macro.  The first unb face rows are a guard band
+  so ramp-up writes (q <= tb) land unconditionally without branches.
 * Single-chip alignments run the ENTIRE block grid inside one pallas_call
   (grid=(n_blocks,), sequential on the core): the HBM face slabs are
   touched only by kernel DMAs, never copied between blocks.  The per-call
   variant (make_block_call) remains for the multi-chip halo mode, whose
   travelling column slab must surface to XLA for ppermute.
 
-Default block: (hb, wc) = (256, 256) -> Tb = Tc = 255 cells plus halo row
-0 / column 0; tall pillars keep the wavefront ramp overhead at
+Block geometry (hb, wc, unb) is chosen per problem by choose_block_shape's
+measured cost model; tall pillars keep the wavefront ramp overhead at
 (lab + tb + tc) / lab instead of the cube sweep's 3x.
 """
 
