@@ -51,7 +51,7 @@ DEF_WC = 256  # default plane cols (k): halo + Tc cells
 # Default q-loop macro-step (planes per unrolled iteration; multiple of 8).
 # Larger macro-steps amortize per-macro overhead (DMA waits, transposes)
 # but cost ~2 extra live planes of VMEM per unrolled step, shrinking the
-# feasible block-shape set -- so the planner picks 8 or 16 per problem.
+# feasible block-shape set -- so the planner picks 8/16/24 per problem.
 DEF_UNB = 8
 
 
