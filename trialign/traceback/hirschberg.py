@@ -27,8 +27,9 @@ BASE_CELLS = 1 << 20
 
 # Above this many cells, slab sweeps run on the accelerator via the jitted
 # twin engine (trialign/traceback/xla_engine.py); below, NumPy wins on
-# dispatch+compile overhead.
-XLA_CELLS = 1 << 24
+# dispatch+compile overhead.  2^21 ~ the crossover measured on the remote
+# v5e (dispatch ~5-30 ms vs ~100 ms of NumPy per 2M cells).
+XLA_CELLS = 1 << 21
 
 Column = Tuple[int, int, int]
 

@@ -20,10 +20,13 @@ from typing import Optional, Tuple
 import numpy as np
 
 from trialign.config import CONSUMES, NUM_MATRICES, OFFSETS, Scoring
+from trialign.kernels.plane_math import target_update, transition_groups
 from trialign.traceback.engine import NEG
 
-# Bucket ladder for padded shapes (few compiles, <=33% padding).
-_LADDER = (64, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096, 6144, 8192)
+# Bucket ladder for padded shapes (one compile per rung; <=14% padding).
+_LADDER = (64, 128, 192, 256, 320, 384, 448, 512, 640, 768, 896, 1024, 1152,
+           1280, 1536, 1792, 2048, 2304, 2560, 3072, 3584, 4096, 5120, 6144,
+           7168, 8192)
 
 
 def _bucket(x: int) -> int:
@@ -87,6 +90,7 @@ def _forward_core(lens, mcap, v0, a_pad, b_pad, c_pad, hb, wc, qq, scoring, mode
 
     la, lb, lc = lens[0], lens[1], lens[2]
     w = scoring.weight_matrix().astype(np.int32)
+    groups = transition_groups(w)
     free = mode == "free"
     free_jk = mode == "free_jk"
     fill = np.int32(0 if free else NEG)
@@ -133,7 +137,7 @@ def _forward_core(lens, mcap, v0, a_pad, b_pad, c_pad, hb, wc, qq, scoring, mode
         ]
         new = []
         for t in range(NUM_MATRICES):
-            cand = jnp.max(preds[t] + w[t][:, None, None], axis=0) + subs[t]
+            cand = target_update(preds[t], groups[t], jnp.maximum) + subs[t]
             new.append(jnp.maximum(cand, NEG))
         new = jnp.stack(new)
 
@@ -218,6 +222,7 @@ def _backward_core(lens, end_v, a_pad, b_pad, c_pad, hb, wc, qq, scoring):
 
     la, lb, lc = lens[0], lens[1], lens[2]
     w = scoring.weight_matrix().astype(np.int32)
+    groups_t = transition_groups(np.ascontiguousarray(w.T))
 
     j_grid = jnp.arange(hb, dtype=jnp.int32)[:, None] * jnp.ones((1, wc), jnp.int32)
     k_grid = jnp.ones((hb, 1), jnp.int32) * jnp.arange(wc, dtype=jnp.int32)[None, :]
@@ -249,8 +254,10 @@ def _backward_core(lens, end_v, a_pad, b_pad, c_pad, hb, wc, qq, scoring):
 
         new = []
         for t in range(NUM_MATRICES):
+            # max over next-state u of E_u + W[u, t]: grouped by the
+            # transposed weight column.
             new.append(
-                jnp.maximum(jnp.max(e + w[:, t][:, None, None], axis=0), NEG)
+                jnp.maximum(target_update(e, groups_t[t], jnp.maximum), NEG)
             )
         new = jnp.stack(new)
         inside = (i_grid >= 0) & (i_grid <= la)
