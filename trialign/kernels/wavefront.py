@@ -217,7 +217,7 @@ def _make_kernel(lab: int, hb: int, wc: int, scoring: Scoring):
     return kernel, qq, dtype
 
 
-def build_askew(a_ext, qq, rows, cols):
+def build_askew(a_ext, qq, rows, cols, pad_value: int = PAD_SYMBOL):
     """Gather-free skewed symbol array: ASKREV[r, k] = A[qq - r - k].
 
     A Hankel matrix of the reversed symbol vector, built with the classic
@@ -225,12 +225,12 @@ def build_askew(a_ext, qq, rows, cols):
     here costs ~2 ms per alignment on TPU, this is ~free.
     """
     L = qq + 1
-    pad = jnp.full((max(0, L - a_ext.shape[0]),), PAD_SYMBOL, a_ext.dtype)
+    pad = jnp.full((max(0, L - a_ext.shape[0]),), pad_value, a_ext.dtype)
     ae = jnp.concatenate([a_ext, pad])[:L]
     v = jnp.flip(ae, 0)  # v[m] = A[qq - m]
     M = rows + cols
     vp = jnp.concatenate(
-        [v, jnp.full((max(0, M - L),), PAD_SYMBOL, v.dtype)]
+        [v, jnp.full((max(0, M - L),), pad_value, v.dtype)]
     )[:M]
     # narrow-reshape: N[s, k] = u[(k - s) mod M]; with u = roll(vp, -(rows-1))
     # and a row flip this is exactly H[r, k] = vp[r + k].

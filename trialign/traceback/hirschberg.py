@@ -34,27 +34,29 @@ XLA_CELLS = 1 << 21
 Column = Tuple[int, int, int]
 
 
-def _fwd_slab(a, b, c, scoring, mode, v0, capture_m):
-    """forward_sweep dispatch: compiled engine for big slabs."""
+def _fwd_slab_async(a, b, c, scoring, mode, v0, capture_m):
+    """forward_sweep dispatch: compiled engine for big slabs.  Returns a
+    zero-arg fetch function so a node's sweeps can all be in flight before
+    any result is pulled back (saves one tunnel round trip per sweep)."""
     if (len(a) + 1) * (len(b) + 1) * (len(c) + 1) >= XLA_CELLS:
-        from trialign.traceback.xla_engine import forward_sweep_xla
+        from trialign.traceback.xla_engine import forward_sweep_xla_async
 
-        final, slab = forward_sweep_xla(
+        return forward_sweep_xla_async(
             a, b, c, scoring, mode=mode, v0=v0, capture_m=capture_m
         )
-        return final, slab
     final, slab, _ = forward_sweep(
         a, b, c, scoring, mode=mode, v0=v0, capture_m=capture_m
     )
-    return final, slab
+    return lambda: (final, slab)
 
 
-def _bwd_slab(a_suffix, b, c, scoring, end_v):
+def _bwd_slab_async(a_suffix, b, c, scoring, end_v):
     if (len(a_suffix) + 1) * (len(b) + 1) * (len(c) + 1) >= XLA_CELLS:
-        from trialign.traceback.xla_engine import backward_slab_xla
+        from trialign.traceback.xla_engine import backward_slab_xla_async
 
-        return backward_slab_xla(a_suffix, b, c, scoring, end_v=end_v)
-    return backward_slab(a_suffix, b, c, scoring, end_v=end_v)
+        return backward_slab_xla_async(a_suffix, b, c, scoring, end_v=end_v)
+    slab = backward_slab(a_suffix, b, c, scoring, end_v=end_v)
+    return lambda: slab
 
 
 def _sub_at(scoring: Scoring, t: int, a, b, c, i: int, j: int, k: int) -> int:
@@ -159,12 +161,20 @@ def _solve(
     if mode == "pin":
         v0 = np.full(NUM_MATRICES, NEG, dtype=np.int32)
         v0[s0] = 0
-    _, f_slab = _fwd_slab(a[:m], b, c, scoring, mode, v0, m)
     end_v = np.zeros(NUM_MATRICES, dtype=np.int32)
     if end_state is not None:
         end_v[:] = NEG
         end_v[end_state] = 0
-    g_slab = _bwd_slab(a[m:], b, c, scoring, end_v)
+    # Dispatch every sweep this node needs before fetching any result.
+    f_fetch = _fwd_slab_async(a[:m], b, c, scoring, mode, v0, m)
+    g_fetch = _bwd_slab_async(a[m:], b, c, scoring, end_v)
+    h_fetch = (
+        _fwd_slab_async(a[m:], b, c, scoring, "free_jk", None, None)
+        if freeish
+        else None
+    )
+    _, f_slab = f_fetch()
+    g_slab = g_fetch()
 
     total = f_slab.astype(np.int64) + g_slab.astype(np.int64)
     flat = int(np.argmax(total))
@@ -177,7 +187,7 @@ def _solve(
         # and never cross the i = m slab by real DP steps.  Those live
         # entirely in the right half, whose own i=0 face is NOT a border
         # (it is the interior plane i=m of this problem) -- hence free_jk.
-        h_final, _ = _fwd_slab(a[m:], b, c, scoring, "free_jk", None, None)
+        h_final, _ = h_fetch()
         h_val = int(h_final[end_state]) if end_state is not None else int(h_final.max())
         if h_val > score:
             r_score, r_cols = _solve(a[m:], b, c, scoring, "free_jk", None, end_state)

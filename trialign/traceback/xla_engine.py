@@ -20,7 +20,11 @@ from typing import Optional, Tuple
 import numpy as np
 
 from trialign.config import CONSUMES, NUM_MATRICES, OFFSETS, Scoring
-from trialign.kernels.plane_math import target_update, transition_groups
+from trialign.kernels.plane_math import (
+    fused_plane_update_m7,
+    target_update,
+    transition_groups,
+)
 from trialign.traceback.engine import NEG
 
 # Bucket ladder for padded shapes (one compile per rung; <=14% padding).
@@ -88,6 +92,8 @@ def _forward_core(lens, mcap, v0, a_pad, b_pad, c_pad, hb, wc, qq, scoring, mode
     import jax
     import jax.numpy as jnp
 
+    from trialign.kernels.wavefront import build_askew
+
     la, lb, lc = lens[0], lens[1], lens[2]
     w = scoring.weight_matrix().astype(np.int32)
     groups = transition_groups(w)
@@ -101,6 +107,13 @@ def _forward_core(lens, mcap, v0, a_pad, b_pad, c_pad, hb, wc, qq, scoring, mode
 
     bj = jnp.broadcast_to(b_pad[:hb, None], (hb, wc))
     ck = jnp.broadcast_to(c_pad[None, :wc], (hb, wc))
+
+    # Symbol planes as row-windows of a sheared (Hankel) array: a per-step
+    # dynamic_slice instead of an (hb, wc) gather (gathers cost ~ms/step).
+    # a_pad is 0-based (ai = a_pad[i-1]); askew wants 1-based with the
+    # invalid sentinel outside [1, la], which the -9 padding provides.
+    a1 = jnp.concatenate([jnp.full((1,), -9, jnp.int32), a_pad])
+    askew = build_askew(a1, qq, qq + hb + 1, wc, pad_value=-9)
 
     p0 = jnp.full((NUM_MATRICES, hb, wc), fill, jnp.int32)
     if free_jk:
@@ -118,28 +131,23 @@ def _forward_core(lens, mcap, v0, a_pad, b_pad, c_pad, hb, wc, qq, scoring, mode
     slab0 = jnp.where(jnp.equal(mcap, 0), p0, slab0)
     final0 = p0[:, lb, lc]
 
+    def shift1(x, axis):
+        # shift-by-one with `fill`; shifted-in cells are always re-masked
+        # below (every target's consume set covers its shift axes), so
+        # combine-then-shift is exact.
+        return _shift_fill_jnp(x, 1 if axis == 0 else 0, 1 if axis == 1 else 0, fill)
+
     def step(carry, q):
-        p1, p2, p3, slab, final = carry
+        p1, p2, m7p2, m7p3, slab, final = carry
         i_grid = q - jk
-        ai_idx = jnp.clip(i_grid - 1, 0, a_pad.shape[0] - 1)
-        ai = a_pad[ai_idx]
-        ai = jnp.where((i_grid >= 1) & (i_grid <= la), ai, -9)
+        ap = jax.lax.dynamic_slice(askew, (qq - q, 0), (hb, wc))
+        ai = jnp.where((i_grid >= 1) & (i_grid <= la), ap, -9)
         subs = _subs_jnp(scoring, ai, bj, ck)
 
-        preds = [
-            _shift_fill_jnp(p3, 1, 1, fill),  # M
-            p1,  # Ix
-            _shift_fill_jnp(p1, 1, 0, fill),  # Iy
-            _shift_fill_jnp(p1, 0, 1, fill),  # Iz
-            _shift_fill_jnp(p2, 1, 0, fill),  # Ixy
-            _shift_fill_jnp(p2, 1, 1, fill),  # Iyz
-            _shift_fill_jnp(p2, 0, 1, fill),  # Ixz
-        ]
-        new = []
-        for t in range(NUM_MATRICES):
-            cand = target_update(preds[t], groups[t], jnp.maximum) + subs[t]
-            new.append(jnp.maximum(cand, NEG))
-        new = jnp.stack(new)
+        cands, m7p1 = fused_plane_update_m7(
+            p1, p2, m7p3, subs, groups, jnp.maximum, shift1
+        )
+        new = jnp.stack([jnp.maximum(c_, NEG) for c_ in cands])
 
         if free:
             valid = (i_grid >= 1) & (i_grid <= la) & (j_grid >= 1) & (k_grid >= 1)
@@ -160,16 +168,22 @@ def _forward_core(lens, mcap, v0, a_pad, b_pad, c_pad, hb, wc, qq, scoring, mode
 
         slab = jnp.where((i_grid == mcap)[None], new, slab)
         final = jnp.where(q == la + lb + lc, new[:, lb, lc], final)
-        return (new, p1, p2, slab, final), None
+        newt = tuple(new[t] for t in range(NUM_MATRICES))
+        return (newt, p1, m7p1, m7p2, slab, final), None
 
-    init = (p0, pring, pring, slab0, final0)
-    (_, _, _, slab, final), _ = jax.lax.scan(
+    p0t = tuple(p0[t] for t in range(NUM_MATRICES))
+    pringt = tuple(pring[t] for t in range(NUM_MATRICES))
+    m7_0 = pring[0]
+    for t in range(1, NUM_MATRICES):
+        m7_0 = jnp.maximum(m7_0, pring[t])
+    init = (p0t, pringt, m7_0, m7_0, slab0, final0)
+    (_, _, _, _, slab, final), _ = jax.lax.scan(
         step, init, jnp.arange(1, qq + 1, dtype=jnp.int32)
     )
     return final, slab
 
 
-def forward_sweep_xla(
+def forward_sweep_xla_async(
     a,
     b,
     c,
@@ -177,9 +191,12 @@ def forward_sweep_xla(
     mode: str = "free",
     v0: Optional[np.ndarray] = None,
     capture_m: Optional[int] = None,
-) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-    """Compiled forward sweep; same contract as engine.forward_sweep minus
-    the cuboid option.  Returns (final (7,), slab or None)."""
+):
+    """Dispatch a compiled forward sweep WITHOUT syncing.
+
+    Returns a zero-arg fetch function producing (final (7,), slab or None).
+    Dispatching several sweeps before fetching any overlaps the per-call
+    round-trip latency (the Hirschberg recursion issues 2-3 per node)."""
     import jax
     import jax.numpy as jnp
 
@@ -205,11 +222,27 @@ def forward_sweep_xla(
         lens, mcap, v0j, jnp.asarray(a_pad), jnp.asarray(b_pad), jnp.asarray(c_pad),
         hb, wc, qq, scoring, mode,
     )
-    final = np.asarray(jax.device_get(final))
-    if capture_m is None:
-        return final, None
-    slab = np.asarray(jax.device_get(slab))[:, : lb + 1, : lc + 1]
-    return final, slab
+
+    def fetch():
+        f = np.asarray(jax.device_get(final))
+        if capture_m is None:
+            return f, None
+        s = np.asarray(jax.device_get(slab))[:, : lb + 1, : lc + 1]
+        return f, s
+
+    return fetch
+
+
+def forward_sweep_xla(
+    a, b, c,
+    scoring: Scoring = Scoring(),
+    mode: str = "free",
+    v0: Optional[np.ndarray] = None,
+    capture_m: Optional[int] = None,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Compiled forward sweep; same contract as engine.forward_sweep minus
+    the cuboid option.  Returns (final (7,), slab or None)."""
+    return forward_sweep_xla_async(a, b, c, scoring, mode, v0, capture_m)()
 
 
 @functools.partial(
@@ -219,6 +252,8 @@ def forward_sweep_xla(
 def _backward_core(lens, end_v, a_pad, b_pad, c_pad, hb, wc, qq, scoring):
     import jax
     import jax.numpy as jnp
+
+    from trialign.kernels.wavefront import build_askew
 
     la, lb, lc = lens[0], lens[1], lens[2]
     w = scoring.weight_matrix().astype(np.int32)
@@ -231,6 +266,9 @@ def _backward_core(lens, end_v, a_pad, b_pad, c_pad, hb, wc, qq, scoring):
     bj = jnp.broadcast_to(b_pad[:hb, None], (hb, wc))
     ck = jnp.broadcast_to(c_pad[None, :wc], (hb, wc))
 
+    a1 = jnp.concatenate([jnp.full((1,), -9, jnp.int32), a_pad])
+    askew = build_askew(a1, qq, qq + hb + 1, wc, pad_value=-9)
+
     pring = jnp.full((NUM_MATRICES, hb, wc), NEG, jnp.int32)
     origin = (j_grid == 0) & (k_grid == 0)
     p0 = jnp.where(origin[None], end_v[:, None, None], pring)
@@ -239,12 +277,14 @@ def _backward_core(lens, end_v, a_pad, b_pad, c_pad, hb, wc, qq, scoring):
     def step(carry, q):
         p1, p2, p3, slab = carry
         i_grid = q - jk
-        ai_idx = jnp.clip(i_grid - 1, 0, a_pad.shape[0] - 1)
-        ai = a_pad[ai_idx]
-        ai = jnp.where((i_grid >= 1) & (i_grid <= la), ai, -9)
+        ap = jax.lax.dynamic_slice(askew, (qq - q, 0), (hb, wc))
+        ai = jnp.where((i_grid >= 1) & (i_grid <= la), ap, -9)
         subs = _subs_jnp(scoring, ai, bj, ck)
 
         planes_by_delta = (None, p1, p2, p3)
+        # E_u: best suffix that next enters state u, seen from this
+        # (reversed) cell: u-shifted previous plane's u row + u's
+        # substitution (evaluated here, in reversed coordinates).
         e = []
         for u in range(NUM_MATRICES):
             du = OFFSETS[u]
@@ -264,22 +304,26 @@ def _backward_core(lens, end_v, a_pad, b_pad, c_pad, hb, wc, qq, scoring):
         new = jnp.where(inside[None], new, NEG)
 
         slab = jnp.where((i_grid == la)[None], new, slab)
-        return (new, p1, p2, slab), None
+        newt = tuple(new[t] for t in range(NUM_MATRICES))
+        return (newt, p1, p2, slab), None
 
+    p0t = tuple(p0[t] for t in range(NUM_MATRICES))
+    pringt = tuple(pring[t] for t in range(NUM_MATRICES))
     (_, _, _, slab), _ = jax.lax.scan(
-        step, (p0, pring, pring, slab0), jnp.arange(1, qq + 1, dtype=jnp.int32)
+        step, (p0t, pringt, pringt, slab0), jnp.arange(1, qq + 1, dtype=jnp.int32)
     )
     return slab
 
 
-def backward_slab_xla(
+def backward_slab_xla_async(
     a_suffix,
     b,
     c,
     scoring: Scoring = Scoring(),
     end_v: Optional[np.ndarray] = None,
-) -> np.ndarray:
-    """Compiled twin of engine.backward_slab."""
+):
+    """Dispatch-without-sync twin of engine.backward_slab; returns a
+    zero-arg fetch function."""
     import jax
     import jax.numpy as jnp
 
@@ -304,5 +348,18 @@ def backward_slab_xla(
         lens, ev, jnp.asarray(a_pad), jnp.asarray(b_pad), jnp.asarray(c_pad),
         hb, wc, qq, scoring,
     )
-    slab = np.asarray(jax.device_get(slab))[:, : lb + 1, : lc + 1]
-    return slab[:, ::-1, ::-1].copy()
+
+    def fetch():
+        s = np.asarray(jax.device_get(slab))[:, : lb + 1, : lc + 1]
+        return s[:, ::-1, ::-1].copy()
+
+    return fetch
+
+
+def backward_slab_xla(
+    a_suffix, b, c,
+    scoring: Scoring = Scoring(),
+    end_v: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Compiled twin of engine.backward_slab."""
+    return backward_slab_xla_async(a_suffix, b, c, scoring, end_v)()
