@@ -29,8 +29,8 @@ from trialign.traceback.engine import NEG
 
 # Bucket ladder for padded shapes (one compile per rung; <=14% padding).
 _LADDER = (64, 128, 192, 256, 320, 384, 448, 512, 640, 768, 896, 1024, 1152,
-           1280, 1536, 1792, 2048, 2304, 2560, 3072, 3584, 4096, 5120, 6144,
-           7168, 8192)
+           1280, 1536, 1792, 2048, 2304, 2560, 3072, 3584, 4096, 4224, 4608,
+           5120, 6144, 7168, 8192)
 
 
 def _bucket(x: int) -> int:
