@@ -10,6 +10,16 @@ programs.
 Semantics mirror engine.forward_sweep / engine.backward_slab exactly
 (modes "free" / "free_jk" / "pin", NEG walls, per-state capture slabs);
 tests assert elementwise equality between the two engines.
+
+Performance notes (all measured on the target chip):
+* symbol planes come from a sheared (Hankel) array via dynamic_slice -- the
+  naive per-step (hb, wc) gather was ~10x the rest of the step combined;
+* the forward combine is combine-then-shift with the max7 carry (exact:
+  every shifted-in cell is re-masked because each target's consume set
+  covers its shift axes in every mode);
+* sweeps run as fixed-size scan segments chained through device-resident
+  carries -- one monolithic multi-thousand-step execution over ~GB carries
+  has been seen to crash the remote TPU worker.
 """
 
 from __future__ import annotations
@@ -17,6 +27,7 @@ from __future__ import annotations
 import functools
 from typing import Optional, Tuple
 
+import jax
 import numpy as np
 
 from trialign.config import CONSUMES, NUM_MATRICES, OFFSETS, Scoring
@@ -31,6 +42,9 @@ from trialign.traceback.engine import NEG
 _LADDER = (64, 128, 192, 256, 320, 384, 448, 512, 640, 768, 896, 1024, 1152,
            1280, 1536, 1792, 2048, 2304, 2560, 3072, 3584, 4096, 4224, 4608,
            5120, 6144, 7168, 8192)
+
+# Steps per scan segment (bounds single-execution runtime).
+SEG_STEPS = 2048
 
 
 def _bucket(x: int) -> int:
@@ -84,17 +98,54 @@ def _shift_fill_jnp(x, dj, dk, fill):
     return y[tuple(sl)]
 
 
+# ----------------------------------------------------------------------
+# Forward sweep (segmented)
+# ----------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("hb", "wc", "mode"))
+def _forward_init(mcap, v0, hb, wc, mode):
+    """Initial scan carry: (p1 tuple, p2 tuple, m7p2, m7p3, slab, final)."""
+    import jax.numpy as jnp
+
+    free = mode == "free"
+    free_jk = mode == "free_jk"
+    fill = np.int32(0 if free else NEG)
+    j = np.arange(hb, dtype=np.int32)[:, None]
+    k = np.arange(wc, dtype=np.int32)[None, :]
+    p0 = jnp.full((NUM_MATRICES, hb, wc), fill, jnp.int32)
+    if free_jk:
+        p0 = jnp.where(jnp.asarray((j == 0) | (k == 0))[None], 0, p0)
+    # Ring planes q=-1/-2 carry NO origin: only plane 0 does (mirrors the
+    # NumPy engine's ring initialization).
+    pring = p0
+    if mode == "pin":
+        p0 = jnp.where(
+            jnp.asarray((j == 0) & (k == 0))[None], v0[:, None, None], p0
+        )
+    slab0 = jnp.full((NUM_MATRICES, hb, wc), NEG, jnp.int32)
+    # capture_m == 0 cases (callers only use 0 < m < la, but stay faithful):
+    slab0 = jnp.where(jnp.equal(mcap, 0), p0, slab0)
+    final0 = jnp.zeros((NUM_MATRICES,), jnp.int32)
+    p0t = tuple(p0[t] for t in range(NUM_MATRICES))
+    pringt = tuple(pring[t] for t in range(NUM_MATRICES))
+    m7_0 = pring[0]
+    for t in range(1, NUM_MATRICES):
+        m7_0 = jnp.maximum(m7_0, pring[t])
+    return (p0t, pringt, m7_0, m7_0, slab0, final0)
+
+
 @functools.partial(
-    __import__("jax").jit,
-    static_argnames=("hb", "wc", "qq", "scoring", "mode"),
+    jax.jit, static_argnames=("hb", "wc", "qq", "scoring", "mode")
 )
-def _forward_core(lens, mcap, v0, a_pad, b_pad, c_pad, hb, wc, qq, scoring, mode):
-    import jax
+def _forward_seg(lens, mcap, a_pad, b_pad, c_pad, carry_in, hb, wc, qq, scoring, mode):
+    """One SEG_STEPS-long slice of the forward sweep; lens = (la, lb, lc, q0).
+
+    Steps beyond qmax are harmless: no cell has a valid i there, so the mode
+    masks wall every position and the captured slab/final are untouched."""
     import jax.numpy as jnp
 
     from trialign.kernels.wavefront import build_askew
 
-    la, lb, lc = lens[0], lens[1], lens[2]
+    la, lb, lc, q0 = lens[0], lens[1], lens[2], lens[3]
     w = scoring.weight_matrix().astype(np.int32)
     groups = transition_groups(w)
     free = mode == "free"
@@ -109,27 +160,11 @@ def _forward_core(lens, mcap, v0, a_pad, b_pad, c_pad, hb, wc, qq, scoring, mode
     ck = jnp.broadcast_to(c_pad[None, :wc], (hb, wc))
 
     # Symbol planes as row-windows of a sheared (Hankel) array: a per-step
-    # dynamic_slice instead of an (hb, wc) gather (gathers cost ~ms/step).
-    # a_pad is 0-based (ai = a_pad[i-1]); askew wants 1-based with the
-    # invalid sentinel outside [1, la], which the -9 padding provides.
+    # dynamic_slice instead of an (hb, wc) gather.  a_pad is 0-based
+    # (ai = a_pad[i-1]); askew wants 1-based with the invalid sentinel
+    # outside [1, la], which the -9 padding provides.
     a1 = jnp.concatenate([jnp.full((1,), -9, jnp.int32), a_pad])
     askew = build_askew(a1, qq, qq + hb + 1, wc, pad_value=-9)
-
-    p0 = jnp.full((NUM_MATRICES, hb, wc), fill, jnp.int32)
-    if free_jk:
-        border = (j_grid == 0) | (k_grid == 0)
-        p0 = jnp.where(border[None], 0, p0)
-    # Ring planes q=-1/-2 carry NO origin: only plane 0 does (mirrors the
-    # NumPy engine's ring initialization).
-    pring = p0
-    if mode == "pin":
-        origin = (j_grid == 0) & (k_grid == 0)
-        p0 = jnp.where(origin[None], v0[:, None, None], p0)
-
-    slab0 = jnp.full((NUM_MATRICES, hb, wc), NEG, jnp.int32)
-    # capture_m == 0 cases (callers only use 0 < m < la, but stay faithful):
-    slab0 = jnp.where(jnp.equal(mcap, 0), p0, slab0)
-    final0 = p0[:, lb, lc]
 
     def shift1(x, axis):
         # shift-by-one with `fill`; shifted-in cells are always re-masked
@@ -171,16 +206,10 @@ def _forward_core(lens, mcap, v0, a_pad, b_pad, c_pad, hb, wc, qq, scoring, mode
         newt = tuple(new[t] for t in range(NUM_MATRICES))
         return (newt, p1, m7p1, m7p2, slab, final), None
 
-    p0t = tuple(p0[t] for t in range(NUM_MATRICES))
-    pringt = tuple(pring[t] for t in range(NUM_MATRICES))
-    m7_0 = pring[0]
-    for t in range(1, NUM_MATRICES):
-        m7_0 = jnp.maximum(m7_0, pring[t])
-    init = (p0t, pringt, m7_0, m7_0, slab0, final0)
-    (_, _, _, _, slab, final), _ = jax.lax.scan(
-        step, init, jnp.arange(1, qq + 1, dtype=jnp.int32)
+    carry, _ = jax.lax.scan(
+        step, carry_in, q0 + jnp.arange(1, SEG_STEPS + 1, dtype=jnp.int32)
     )
-    return final, slab
+    return carry
 
 
 def forward_sweep_xla_async(
@@ -197,7 +226,6 @@ def forward_sweep_xla_async(
     Returns a zero-arg fetch function producing (final (7,), slab or None).
     Dispatching several sweeps before fetching any overlaps the per-call
     round-trip latency (the Hirschberg recursion issues 2-3 per node)."""
-    import jax
     import jax.numpy as jnp
 
     a = np.asarray(a, dtype=np.int32)
@@ -210,18 +238,21 @@ def forward_sweep_xla_async(
 
     a_pad = np.full(lap + 2, -9, dtype=np.int32)
     a_pad[:la] = a  # 0-based: ai = a_pad[i-1], mirroring engine.forward_sweep
-    b_pad = _pad_seq(np.concatenate([[-7], b]), hb, -7)
-    c_pad = _pad_seq(np.concatenate([[-8], c]), wc, -8)
-    lens = jnp.asarray(np.array([la, lb, lc], np.int32))
+    b_pad = jnp.asarray(_pad_seq(np.concatenate([[-7], b]), hb, -7))
+    c_pad = jnp.asarray(_pad_seq(np.concatenate([[-8], c]), wc, -8))
+    a_pad = jnp.asarray(a_pad)
     v0j = jnp.asarray(
         v0.astype(np.int32) if v0 is not None else np.zeros(NUM_MATRICES, np.int32)
     )
     mcap = jnp.int32(capture_m if capture_m is not None else -1)
 
-    final, slab = _forward_core(
-        lens, mcap, v0j, jnp.asarray(a_pad), jnp.asarray(b_pad), jnp.asarray(c_pad),
-        hb, wc, qq, scoring, mode,
-    )
+    carry = _forward_init(mcap, v0j, hb, wc, mode)
+    for q0 in range(0, qq, SEG_STEPS):
+        lens = jnp.asarray(np.array([la, lb, lc, q0], np.int32))
+        carry = _forward_seg(
+            lens, mcap, a_pad, b_pad, c_pad, carry, hb, wc, qq, scoring, mode
+        )
+    slab, final = carry[4], carry[5]
 
     def fetch():
         f = np.asarray(jax.device_get(final))
@@ -245,17 +276,32 @@ def forward_sweep_xla(
     return forward_sweep_xla_async(a, b, c, scoring, mode, v0, capture_m)()
 
 
-@functools.partial(
-    __import__("jax").jit,
-    static_argnames=("hb", "wc", "qq", "scoring"),
-)
-def _backward_core(lens, end_v, a_pad, b_pad, c_pad, hb, wc, qq, scoring):
-    import jax
+# ----------------------------------------------------------------------
+# Backward sweep (segmented)
+# ----------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("hb", "wc"))
+def _backward_init(end_v, la, hb, wc):
+    import jax.numpy as jnp
+
+    j = np.arange(hb, dtype=np.int32)[:, None]
+    k = np.arange(wc, dtype=np.int32)[None, :]
+    pring = jnp.full((NUM_MATRICES, hb, wc), NEG, jnp.int32)
+    p0 = jnp.where(
+        jnp.asarray((j == 0) & (k == 0))[None], end_v[:, None, None], pring
+    )
+    slab0 = jnp.where(jnp.equal(la, 0), p0, pring)
+    p0t = tuple(p0[t] for t in range(NUM_MATRICES))
+    pringt = tuple(pring[t] for t in range(NUM_MATRICES))
+    return (p0t, pringt, pringt, slab0)
+
+
+@functools.partial(jax.jit, static_argnames=("hb", "wc", "qq", "scoring"))
+def _backward_seg(lens, a_pad, b_pad, c_pad, carry_in, hb, wc, qq, scoring):
     import jax.numpy as jnp
 
     from trialign.kernels.wavefront import build_askew
 
-    la, lb, lc = lens[0], lens[1], lens[2]
+    la, lb, lc, q0 = lens[0], lens[1], lens[2], lens[3]
     w = scoring.weight_matrix().astype(np.int32)
     groups_t = transition_groups(np.ascontiguousarray(w.T))
 
@@ -268,11 +314,6 @@ def _backward_core(lens, end_v, a_pad, b_pad, c_pad, hb, wc, qq, scoring):
 
     a1 = jnp.concatenate([jnp.full((1,), -9, jnp.int32), a_pad])
     askew = build_askew(a1, qq, qq + hb + 1, wc, pad_value=-9)
-
-    pring = jnp.full((NUM_MATRICES, hb, wc), NEG, jnp.int32)
-    origin = (j_grid == 0) & (k_grid == 0)
-    p0 = jnp.where(origin[None], end_v[:, None, None], pring)
-    slab0 = jnp.where(jnp.equal(la, 0), p0, pring)
 
     def step(carry, q):
         p1, p2, p3, slab = carry
@@ -307,12 +348,10 @@ def _backward_core(lens, end_v, a_pad, b_pad, c_pad, hb, wc, qq, scoring):
         newt = tuple(new[t] for t in range(NUM_MATRICES))
         return (newt, p1, p2, slab), None
 
-    p0t = tuple(p0[t] for t in range(NUM_MATRICES))
-    pringt = tuple(pring[t] for t in range(NUM_MATRICES))
-    (_, _, _, slab), _ = jax.lax.scan(
-        step, (p0t, pringt, pringt, slab0), jnp.arange(1, qq + 1, dtype=jnp.int32)
+    carry, _ = jax.lax.scan(
+        step, carry_in, q0 + jnp.arange(1, SEG_STEPS + 1, dtype=jnp.int32)
     )
-    return slab
+    return carry
 
 
 def backward_slab_xla_async(
@@ -324,7 +363,6 @@ def backward_slab_xla_async(
 ):
     """Dispatch-without-sync twin of engine.backward_slab; returns a
     zero-arg fetch function."""
-    import jax
     import jax.numpy as jnp
 
     ra = np.asarray(a_suffix, dtype=np.int32)[::-1]
@@ -337,20 +375,23 @@ def backward_slab_xla_async(
 
     a_pad = np.full(lap + 2, -9, dtype=np.int32)
     a_pad[:la] = ra  # 0-based: ai = a_pad[i-1]
-    b_pad = _pad_seq(np.concatenate([[-7], rb]), hb, -7)
-    c_pad = _pad_seq(np.concatenate([[-8], rc]), wc, -8)
-    lens = jnp.asarray(np.array([la, lb, lc], np.int32))
+    b_pad = jnp.asarray(_pad_seq(np.concatenate([[-7], rb]), hb, -7))
+    c_pad = jnp.asarray(_pad_seq(np.concatenate([[-8], rc]), wc, -8))
+    a_pad = jnp.asarray(a_pad)
     ev = jnp.asarray(
         end_v.astype(np.int32) if end_v is not None else np.zeros(NUM_MATRICES, np.int32)
     )
 
-    slab = _backward_core(
-        lens, ev, jnp.asarray(a_pad), jnp.asarray(b_pad), jnp.asarray(c_pad),
-        hb, wc, qq, scoring,
-    )
+    carry = _backward_init(ev, jnp.int32(la), hb, wc)
+    for q0 in range(0, qq, SEG_STEPS):
+        lens = jnp.asarray(np.array([la, lb, lc, q0], np.int32))
+        carry = _backward_seg(
+            lens, a_pad, b_pad, c_pad, carry, hb, wc, qq, scoring
+        )
+    slab_dev = carry[3]
 
     def fetch():
-        s = np.asarray(jax.device_get(slab))[:, : lb + 1, : lc + 1]
+        s = np.asarray(jax.device_get(slab_dev))[:, : lb + 1, : lc + 1]
         return s[:, ::-1, ::-1].copy()
 
     return fetch
