@@ -158,3 +158,30 @@ def test_alignment_actions(rng):
     assert len(acts) == len(rows[0])
     for col, t in zip(zip(*rows), acts):
         assert tuple(int(v != -1) for v in col) == CONSUMES[t]
+
+
+def test_xla_engine_multi_segment(rng, monkeypatch):
+    """Segment-boundary correctness: with a tiny SEG_STEPS the sweep crosses
+    many segment boundaries; results must be identical to the NumPy spec."""
+    import numpy as np
+
+    import trialign.traceback.xla_engine as X
+    from trialign.config import NUM_MATRICES, Scoring
+    from trialign.traceback.engine import NEG, backward_slab, forward_sweep
+
+    monkeypatch.setattr(X, "SEG_STEPS", 16)
+    sc = Scoring()
+    a, b, c = random_triplet(rng, 30, 20, 25)
+    m = 13
+    for mode in ("free", "free_jk", "pin"):
+        v0 = None
+        if mode == "pin":
+            v0 = np.full(NUM_MATRICES, NEG, dtype=np.int32)
+            v0[2] = 0
+        f_np, s_np, _ = forward_sweep(a, b, c, sc, mode=mode, v0=v0, capture_m=m)
+        f_x, s_x = X.forward_sweep_xla(a, b, c, sc, mode=mode, v0=v0, capture_m=m)
+        assert np.array_equal(f_np, f_x), mode
+        assert np.array_equal(s_np, s_x), mode
+    g_np = backward_slab(a[m:], b, c, sc)
+    g_x = X.backward_slab_xla(a[m:], b, c, sc)
+    assert np.array_equal(g_np, g_x)

@@ -134,9 +134,9 @@ def _forward_init(mcap, v0, hb, wc, mode):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("hb", "wc", "qq", "scoring", "mode")
+    jax.jit, static_argnames=("hb", "wc", "qq", "scoring", "mode", "seg")
 )
-def _forward_seg(lens, mcap, a_pad, b_pad, c_pad, carry_in, hb, wc, qq, scoring, mode):
+def _forward_seg(lens, mcap, a_pad, b_pad, c_pad, carry_in, hb, wc, qq, scoring, mode, seg):
     """One SEG_STEPS-long slice of the forward sweep; lens = (la, lb, lc, q0).
 
     Steps beyond qmax are harmless: no cell has a valid i there, so the mode
@@ -207,7 +207,7 @@ def _forward_seg(lens, mcap, a_pad, b_pad, c_pad, carry_in, hb, wc, qq, scoring,
         return (newt, p1, m7p1, m7p2, slab, final), None
 
     carry, _ = jax.lax.scan(
-        step, carry_in, q0 + jnp.arange(1, SEG_STEPS + 1, dtype=jnp.int32)
+        step, carry_in, q0 + jnp.arange(1, seg + 1, dtype=jnp.int32)
     )
     return carry
 
@@ -250,7 +250,8 @@ def forward_sweep_xla_async(
     for q0 in range(0, qq, SEG_STEPS):
         lens = jnp.asarray(np.array([la, lb, lc, q0], np.int32))
         carry = _forward_seg(
-            lens, mcap, a_pad, b_pad, c_pad, carry, hb, wc, qq, scoring, mode
+            lens, mcap, a_pad, b_pad, c_pad, carry, hb, wc, qq, scoring,
+            mode, SEG_STEPS,
         )
     slab, final = carry[4], carry[5]
 
@@ -295,8 +296,8 @@ def _backward_init(end_v, la, hb, wc):
     return (p0t, pringt, pringt, slab0)
 
 
-@functools.partial(jax.jit, static_argnames=("hb", "wc", "qq", "scoring"))
-def _backward_seg(lens, a_pad, b_pad, c_pad, carry_in, hb, wc, qq, scoring):
+@functools.partial(jax.jit, static_argnames=("hb", "wc", "qq", "scoring", "seg"))
+def _backward_seg(lens, a_pad, b_pad, c_pad, carry_in, hb, wc, qq, scoring, seg):
     import jax.numpy as jnp
 
     from trialign.kernels.wavefront import build_askew
@@ -349,7 +350,7 @@ def _backward_seg(lens, a_pad, b_pad, c_pad, carry_in, hb, wc, qq, scoring):
         return (newt, p1, p2, slab), None
 
     carry, _ = jax.lax.scan(
-        step, carry_in, q0 + jnp.arange(1, SEG_STEPS + 1, dtype=jnp.int32)
+        step, carry_in, q0 + jnp.arange(1, seg + 1, dtype=jnp.int32)
     )
     return carry
 
@@ -386,7 +387,7 @@ def backward_slab_xla_async(
     for q0 in range(0, qq, SEG_STEPS):
         lens = jnp.asarray(np.array([la, lb, lc, q0], np.int32))
         carry = _backward_seg(
-            lens, a_pad, b_pad, c_pad, carry, hb, wc, qq, scoring
+            lens, a_pad, b_pad, c_pad, carry, hb, wc, qq, scoring, SEG_STEPS
         )
     slab_dev = carry[3]
 
