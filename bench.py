@@ -40,7 +40,10 @@ def main():
     log(f"backend={backend} devices={jax.devices()}")
 
     score = parity_check(scoring)
-    log(f"parity OK on dat 64-triplet (score {score}, wavefront + blocked)")
+    log(
+        "parity OK on the reference's dat/A_seq+B_seq+C_seq 64-triplet "
+        f"(score {score}, wavefront + blocked) and the alt fixture"
+    )
 
     if on_tpu:
         blocked_gcups, bdt = bench_blocked(1024, 4, scoring)

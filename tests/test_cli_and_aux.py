@@ -187,6 +187,34 @@ def test_align_resilient_gives_up(rng, tmp_path, monkeypatch):
         )
 
 
+def test_cli_align_metrics_and_profile(tmp_path, capsys):
+    """--metrics emits a RunMetrics JSON line; --profile DIR writes a
+    jax.profiler trace directory (round-1 VERDICT item 10)."""
+    from trialign.cli import main
+
+    prof = str(tmp_path / "trace")
+    rc = main(["align", "--a", "ACGT", "--b", "ACGT", "--c", "ACGT",
+               "--backend", "golden", "--metrics", "--profile", prof])
+    assert rc == 0
+    err = capsys.readouterr().err
+    metric_lines = [l for l in err.splitlines() if l.startswith("{")]
+    assert metric_lines, f"no RunMetrics JSON line in stderr: {err!r}"
+    rec = json.loads(metric_lines[-1])
+    assert rec["score"] == 12 and rec["cells"] == 64
+    assert rec["backend"] == "golden" and rec["shape"] == [4, 4, 4]
+    assert os.path.isdir(prof) and os.listdir(prof), "profiler trace missing"
+    assert f"profiler trace written to {prof}" in err
+
+
+def test_cli_bench_wavefront_mode_size_conflict():
+    """--mode wavefront with --size > 255 must error, not silently switch
+    to the blocked path (round-1 advisor finding)."""
+    from trialign.cli import main
+
+    with pytest.raises(SystemExit, match="wavefront requires"):
+        main(["bench", "--mode", "wavefront", "--size", "300"])
+
+
 def test_cli_align_fasta_triplet(tmp_path, capsys):
     from trialign.cli import main
 

@@ -138,6 +138,26 @@ def test_reference_dat_vectors_parity():
         assert -1000 < score <= 192
 
 
+def test_bundled_vectors_are_verbatim_reference_copies():
+    # The bundled data/ triplet must be byte-identical to the reference's
+    # dat/ vectors (reference: dat/A_seq.dat:1-64 etc.); the alt fixture
+    # must be a *different* triplet (an independent second parity case).
+    import os
+
+    import numpy as np
+
+    from trialign.io import load_alt_triplet, load_reference_triplet
+
+    if not os.path.exists("/root/reference/dat/A_seq.dat"):
+        pytest.skip("reference checkout not mounted")
+    bundled = load_reference_triplet()
+    upstream = load_reference_triplet("/root/reference/dat")
+    for b_seq, u_seq in zip(bundled, upstream):
+        assert np.array_equal(b_seq, u_seq)
+    alt = load_alt_triplet()
+    assert not all(np.array_equal(x, y) for x, y in zip(alt, upstream))
+
+
 @pytest.mark.slow
 def test_reference_dat_vectors_bruteforce_parity():
     from trialign.io import load_reference_triplet

@@ -49,8 +49,9 @@ def _pick_backend(la: int, lb: int, lc: int) -> str:
 
     on_tpu = jax.default_backend() == "tpu"
     # The single-block kernel keeps the skewed symbol array VMEM-resident,
-    # so long A also needs the blocked path, not just long B/C.
-    small = lb <= 255 and lc <= 255 and la <= 2048
+    # so long A also needs the blocked path, not just long B/C (the cap
+    # matches wavefront.bucket_dims' |A| <= 4096 limit).
+    small = lb <= 255 and lc <= 255 and la <= 4096
     if small:
         return "pallas" if on_tpu else "pallas_interpret" if max(lb, lc) <= 64 else "xla"
     return "blocked"
@@ -149,14 +150,19 @@ def align_batch(
     arrs = [(_prep(a), _prep(b), _prep(c)) for a, b, c in triplets]
     scores = align_batch_padded(arrs, scoring)
     dt = time.perf_counter() - t0
+    # Items share one dispatch, so per-item time is apportioned by cell
+    # count: every item's .gcups then equals the batch aggregate GCUPS
+    # (total cells / total seconds) instead of a distorted per-item figure.
+    total_cells = sum(len(a) * len(b) * len(c) for a, b, c in arrs) or 1
     out = []
     for (a, b, c), s in zip(arrs, scores):
+        cells = len(a) * len(b) * len(c)
         out.append(
             AlignResult(
                 score=int(s),
                 backend="batch",
-                cells=len(a) * len(b) * len(c),
-                seconds=dt / max(len(arrs), 1),
+                cells=cells,
+                seconds=dt * cells / total_cells,
             )
         )
     return out

@@ -127,14 +127,20 @@ def parity_check(scoring: Scoring = Scoring()):
     from trialign.golden import align_planes_numpy
     from trialign.kernels.blocked import align_blocked
     from trialign.kernels.wavefront import align_wavefront
-    from trialign.io import load_reference_triplet
+    from trialign.io import load_alt_triplet, load_reference_triplet
 
-    a, b, c = load_reference_triplet()
-    want = align_planes_numpy(a, b, c, scoring)
-    got = align_wavefront(a, b, c, scoring)
-    if got != want:
-        raise AssertionError(f"wavefront parity FAILED: {got} != {want}")
-    got_b = align_blocked(a, b, c, scoring)
-    if got_b != want:
-        raise AssertionError(f"blocked parity FAILED: {got_b} != {want}")
+    want = None
+    for name, (a, b, c) in (
+        ("reference dat", load_reference_triplet()),
+        ("alt fixture", load_alt_triplet()),
+    ):
+        w = align_planes_numpy(a, b, c, scoring)
+        got = align_wavefront(a, b, c, scoring)
+        if got != w:
+            raise AssertionError(f"wavefront parity FAILED ({name}): {got} != {w}")
+        got_b = align_blocked(a, b, c, scoring)
+        if got_b != w:
+            raise AssertionError(f"blocked parity FAILED ({name}): {got_b} != {w}")
+        if want is None:
+            want = w  # the reference triplet's score is the reported one
     return want

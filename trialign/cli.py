@@ -79,13 +79,25 @@ def _add_scoring_args(p):
 
 def cmd_align(args) -> int:
     from trialign.api import align
-    from trialign.metrics import device_summary
+    from trialign.metrics import RunMetrics, device_summary, profile_trace
 
     a, b, c = _load_triplet(args)
-    res = align(
-        a, b, c, scoring=_scoring(args), backend=args.backend,
-        return_alignment=args.alignment,
-    )
+    with profile_trace(args.profile):
+        res = align(
+            a, b, c, scoring=_scoring(args), backend=args.backend,
+            return_alignment=args.alignment,
+        )
+    if args.profile:
+        print(f"profiler trace written to {args.profile}", file=sys.stderr)
+    if args.metrics:
+        RunMetrics(
+            score=res.score,
+            cells=res.cells,
+            seconds=res.seconds,
+            backend=res.backend,
+            device=device_summary(),
+            shape=(len(a), len(b), len(c)),
+        ).emit()
     if args.json:
         out = {
             "score": res.score,
@@ -144,14 +156,25 @@ def cmd_bench(args) -> int:
     )
 
     sc = _scoring(args)
-    parity_check(sc)
     n = args.size
-    if n <= 255 and args.mode in ("auto", "wavefront"):
-        gcups, dt = bench_single_stream(n, args.repeats, sc)
-        mode = "wavefront"
-    else:
-        gcups, dt = bench_blocked(n, args.repeats, sc)
-        mode = "blocked"
+    if args.mode == "wavefront" and n > 255:
+        # Honor the explicit mode request instead of silently switching.
+        raise SystemExit(
+            f"--mode wavefront requires --size <= 255 (single-block kernel "
+            f"limit); got {n}. Use --mode blocked or auto."
+        )
+    from trialign.metrics import profile_trace
+
+    parity_check(sc)
+    with profile_trace(args.profile):
+        if n <= 255 and args.mode in ("auto", "wavefront"):
+            gcups, dt = bench_single_stream(n, args.repeats, sc)
+            mode = "wavefront"
+        else:
+            gcups, dt = bench_blocked(n, args.repeats, sc)
+            mode = "blocked"
+    if args.profile:
+        print(f"profiler trace written to {args.profile}", file=sys.stderr)
     out = {
         "size": n,
         "mode": mode,
@@ -222,6 +245,10 @@ def main(argv=None) -> int:
                    choices=["auto", "golden", "xla", "pallas", "pallas_interpret", "blocked", "native"])
     p.add_argument("--alignment", action="store_true", help="recover the alignment")
     p.add_argument("--json", action="store_true")
+    p.add_argument("--profile", metavar="DIR",
+                   help="write a jax.profiler trace to DIR")
+    p.add_argument("--metrics", action="store_true",
+                   help="emit a structured RunMetrics JSON line to stderr")
     _add_scoring_args(p)
     p.set_defaults(fn=cmd_align)
 
@@ -235,6 +262,8 @@ def main(argv=None) -> int:
     p.add_argument("--repeats", type=int, default=4)
     p.add_argument("--mode", choices=["auto", "wavefront", "blocked"], default="auto")
     p.add_argument("--json", action="store_true")
+    p.add_argument("--profile", metavar="DIR",
+                   help="write a jax.profiler trace to DIR")
     _add_scoring_args(p)
     p.set_defaults(fn=cmd_bench)
 

@@ -164,7 +164,11 @@ def align_batch_padded(
         for i, s in zip(keep, sub):
             out[i] = s
         return out
-    if max(max(len(t[1]), len(t[2])) for t in triplets) > 255:
+    # Triplets beyond the wavefront caps (|B|,|C| <= 255 AND |A| <= 4096,
+    # wavefront.bucket_dims) must route through the bucketed dispatcher.
+    if any(
+        len(t[1]) > 255 or len(t[2]) > 255 or len(t[0]) > 4096 for t in triplets
+    ):
         return align_batch_bucketed(triplets, scoring)
     lens, askew, bp, cp, lab, hb, wc = prep_padded(triplets)
     if engine is None:
@@ -271,7 +275,7 @@ def align_batch_bucketed(
         la, lb, lc = len(a), len(b), len(c)
         if min(la, lb, lc) == 0:
             continue  # final cell on a zero-border face: score 0
-        if lb <= 255 and lc <= 255:
+        if lb <= 255 and lc <= 255 and la <= 4096:
             key = wf.bucket_dims(la, lb, lc)
             small.setdefault(key, []).append(i)
         else:
@@ -308,6 +312,29 @@ def align_batch_sharded(
         from trialign.dist.mesh import default_mesh
 
         mesh = default_mesh()
+    # Triplets beyond the wavefront caps can't join the sharded vmap batch;
+    # route them through the bucketed dispatcher (which chains the blocked
+    # sweep round-robin across local devices) and merge in input order.
+    long_idx = [
+        i
+        for i, t in enumerate(triplets)
+        if len(t[1]) > 255 or len(t[2]) > 255 or len(t[0]) > 4096
+        or min(map(len, t)) == 0
+    ]
+    if long_idx:
+        long_set = set(long_idx)
+        short_idx = [i for i in range(len(triplets)) if i not in long_set]
+        out = [0] * len(triplets)
+        long_scores = align_batch_bucketed([triplets[i] for i in long_idx], scoring)
+        for i, s in zip(long_idx, long_scores):
+            out[i] = s
+        if short_idx:
+            short_scores = align_batch_sharded(
+                [triplets[i] for i in short_idx], scoring, mesh, engine
+            )
+            for i, s in zip(short_idx, short_scores):
+                out[i] = s
+        return out
     ndata = mesh.shape["data"]
     n = len(triplets)
     padded = list(triplets)

@@ -13,7 +13,8 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-# Bundled copies of the reference test vectors (written by tools/import_vectors).
+# Bundled verbatim copies of the reference's dat/ test vectors (see
+# data/README.md); data/alt/ holds this repo's own second fixture triplet.
 _DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 
 
@@ -47,6 +48,11 @@ def load_reference_triplet(data_dir: str | None = None) -> Tuple[np.ndarray, np.
                 load_dat_sequence(os.path.join(d, "C_seq.dat")),
             )
     raise FileNotFoundError("A_seq/B_seq/C_seq .dat files not found")
+
+
+def load_alt_triplet() -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Load the repo's own second 64-symbol fixture triplet (data/alt/)."""
+    return load_reference_triplet(os.path.join(_DATA_DIR, "alt"))
 
 
 def read_fasta(path: str) -> Dict[str, str]:

@@ -52,6 +52,7 @@ def align_resilient(
         a, b, c, scoring, ckpt_path=ckpt_path, every=every, **kw
     )
     ckpt = runner.ckpt_path
+    # `max_retries` recoveries = 1 initial attempt + max_retries retries.
     while attempts <= max_retries:
         try:
             score = runner.run(checkpoint=True)
@@ -61,9 +62,10 @@ def align_resilient(
                 if os.path.exists(ckpt):
                     os.remove(ckpt)
             return score
-        except KeyboardInterrupt:
+        except (KeyboardInterrupt, SystemExit, GeneratorExit):
+            # Deliberate interruption/shutdown must not be retried.
             raise
-        except BaseException as e:  # noqa: BLE001 - device loss is broad
+        except Exception as e:  # noqa: BLE001 - device loss is broad
             attempts += 1
             last_exc = e
             log.warning(
