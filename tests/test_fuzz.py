@@ -41,6 +41,44 @@ def test_fuzz_backends_50_cases(rng):
             assert align_blocked(a, b, c, sc, block_shape=(16, 128)) == want
 
 
+def test_fuzz_score_bits_xla_matches_golden(rng):
+    """RTL bit-parity mode on a compiled backend: the XLA sweep with
+    score_bits-wide wrapping registers matches the golden emulation bit for
+    bit, including cases where the running scores actually overflow
+    (reference: src/TriAlign_1cyc.v:6; PARITY.md quirk 3)."""
+    from trialign.kernels.xla_ref import align_xla
+
+    for trial in range(12):
+        la, lb, lc = (int(x) for x in rng.integers(4, 28, size=3))
+        a, b, c = random_triplet(rng, la, lb, lc, nsym=int(rng.integers(2, 5)))
+        sc = SCORINGS[trial % len(SCORINGS)]
+        # bits=6 wraps at +/-32 (real overflow at these sizes); bits=12 is
+        # the hardware width.
+        for bits in (6, 12):
+            want = align_planes_numpy(a, b, c, sc, score_bits=bits)
+            got = align_xla(a, b, c, sc, score_bits=bits)
+            assert got == want, (trial, bits, got, want)
+    # An identical-sequence run long enough to overflow 6-bit registers
+    # must agree wrapped AND differ from the clean score (wrap really bit).
+    n = 30
+    seq = np.full(n, 2, np.uint8)
+    clean = align_planes_numpy(seq, seq, seq)
+    wrapped = align_planes_numpy(seq, seq, seq, score_bits=6)
+    assert align_xla(seq, seq, seq, score_bits=6) == wrapped
+    assert wrapped != clean
+
+
+def test_api_score_bits_routing(rng):
+    from trialign.api import align
+
+    a, b, c = random_triplet(rng, 10, 10, 10)
+    want = align_planes_numpy(a, b, c, score_bits=12)
+    res = align(a, b, c, score_bits=12)  # auto -> xla in bit-parity mode
+    assert res.score == want and res.backend == "xla"
+    with pytest.raises(ValueError, match="score_bits"):
+        align(a, b, c, backend="pallas", score_bits=12)
+
+
 @pytest.mark.slow
 def test_fuzz_traceback_20_cases(rng):
     from trialign.golden.numpy_model import rescore_alignment

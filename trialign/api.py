@@ -64,11 +64,17 @@ def align(
     scoring: Scoring = Scoring(),
     backend: str = "auto",
     return_alignment: bool = False,
+    score_bits: int = 0,
 ) -> AlignResult:
     """Optimal alignment of three sequences.
 
     ``backend``: "auto", "golden" (NumPy), "xla", "pallas" (single-block
     TPU kernel), "blocked" (HBM-tiled sliced sweep for long sequences).
+
+    ``score_bits`` nonzero selects RTL bit-parity mode (stored scores wrap
+    as signed score_bits-wide registers, the hardware's unsaturated
+    SCORE_BITS=12 behavior; reference: src/TriAlign_1cyc.v:6).  Supported
+    by the "golden" and "xla" backends; "auto" then picks "xla".
     """
     import time
 
@@ -77,6 +83,16 @@ def align(
     cells = la * lb * lc
     if backend not in BACKENDS:
         raise ValueError(f"unknown backend {backend!r}; choose from {BACKENDS}")
+    if score_bits:
+        if return_alignment:
+            raise ValueError("score_bits mode is score-only (no traceback)")
+        if backend == "auto":
+            backend = "xla"
+        if backend not in ("golden", "xla"):
+            raise ValueError(
+                f"score_bits wraparound is implemented by the 'golden' and "
+                f"'xla' backends, not {backend!r}"
+            )
 
     if return_alignment:
         # Alignment recovery always runs the Hirschberg engine (the score
@@ -101,11 +117,11 @@ def align(
     if backend == "golden":
         from trialign.golden import align_planes_numpy
 
-        score = align_planes_numpy(a, b, c, scoring)
+        score = align_planes_numpy(a, b, c, scoring, score_bits=score_bits)
     elif backend == "xla":
         from trialign.kernels.xla_ref import align_xla
 
-        score = align_xla(a, b, c, scoring)
+        score = align_xla(a, b, c, scoring, score_bits=score_bits)
     elif backend in ("pallas", "pallas_interpret"):
         from trialign.kernels.wavefront import align_wavefront
 

@@ -37,8 +37,10 @@ def _shift(x, dj, dk):
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("la", "lb", "lc", "scoring"))
-def _sweep(a_ext, b_col, c_row, la, lb, lc, scoring: Scoring):
+@functools.partial(
+    jax.jit, static_argnames=("la", "lb", "lc", "scoring", "score_bits")
+)
+def _sweep(a_ext, b_col, c_row, la, lb, lc, scoring: Scoring, score_bits: int = 0):
     """Run the full plane sweep; returns the (7,) final-cell score vector.
 
     a_ext is A padded to length la+1 with a leading dummy so a_ext[i] is the
@@ -83,6 +85,15 @@ def _sweep(a_ext, b_col, c_row, la, lb, lc, scoring: Scoring):
             pred = _shift(planes[PLANE_DELTA[t]], dj, dk)
             new.append(target_update(pred, groups[t], jnp.maximum) + subs[t])
         new = jnp.stack(new)
+        if score_bits:
+            # RTL bit-parity mode: every stored value wraps to a signed
+            # score_bits-wide register, exactly the hardware's unsaturated
+            # SCORE_BITS registers (reference: src/TriAlign_1cyc.v:6;
+            # PARITY.md quirk 3).  Arithmetic stays int32 between stores,
+            # matching the golden model's emulation bit for bit.
+            m = jnp.int32(1 << score_bits)
+            half = jnp.int32(1 << (score_bits - 1))
+            new = jnp.mod(new + half, m) - half
 
         valid = (i_grid >= 1) & (i_grid <= la) & (j_grid >= 1) & (k_grid >= 1)
         new = jnp.where(valid[None], new, 0)
@@ -96,8 +107,14 @@ def _sweep(a_ext, b_col, c_row, la, lb, lc, scoring: Scoring):
     return p1[:, lb, lc]
 
 
-def align_xla(a, b, c, scoring: Scoring = Scoring()) -> int:
-    """Optimal 3-sequence alignment score via the XLA plane sweep."""
+def align_xla(
+    a, b, c, scoring: Scoring = Scoring(), score_bits: int = 0
+) -> int:
+    """Optimal 3-sequence alignment score via the XLA plane sweep.
+
+    ``score_bits`` nonzero enables the RTL bit-parity mode: stored values
+    wrap as signed score_bits-wide registers, reproducing the hardware's
+    SCORE_BITS=12 overflow behavior on a compiled backend."""
     a = np.asarray(a)
     b = np.asarray(b)
     c = np.asarray(c)
@@ -111,6 +128,7 @@ def align_xla(a, b, c, scoring: Scoring = Scoring()) -> int:
     c_row = np.full((1, lc + 1), PAD_SYMBOL - 2, dtype=np.int32)
     c_row[0, 1:] = c
     final = _sweep(
-        jnp.asarray(a_ext), jnp.asarray(b_col), jnp.asarray(c_row), la, lb, lc, scoring
+        jnp.asarray(a_ext), jnp.asarray(b_col), jnp.asarray(c_row), la, lb, lc,
+        scoring, score_bits
     )
     return int(jax.device_get(final).max())
