@@ -63,3 +63,43 @@ def test_blocked_nondefault_macro_step(rng):
     want = align_planes_numpy(a, b, c)
     got = align_blocked(a, b, c, interpret=True, block_shape=(16, 128, 16))
     assert got == want
+
+
+def test_blocked_chain_parity(rng):
+    """A-axis chain packing: several equal-length A's against shared B/C in
+    one fused sweep must reproduce every individual golden score (the
+    ramp-amortizing throughput mode, plan_dims_packed)."""
+    from trialign.kernels.blocked import align_blocked_chain
+
+    a_list = [random_triplet(rng, 20, 1, 1)[0] for _ in range(5)]
+    _, b, c = random_triplet(rng, 1, 30, 40)
+    want = [align_planes_numpy(a, b, c) for a in a_list]
+    # multi-block geometry: chain borders must survive face exchange
+    got = align_blocked_chain(a_list, b, c, block_shape=(16, 128))
+    assert got == want
+    # single-block geometry
+    got2 = align_blocked_chain(a_list, b, c, block_shape=(48, 128))
+    assert got2 == want
+
+
+def test_blocked_chain_single_and_empty(rng):
+    from trialign.kernels.blocked import align_blocked_chain
+
+    a, b, c = random_triplet(rng, 12, 18, 25)
+    assert align_blocked_chain([a], b, c, block_shape=(32, 128)) == [
+        align_planes_numpy(a, b, c)
+    ]
+    assert align_blocked_chain([], b, c) == []
+    e = np.zeros(0, dtype=np.uint8)
+    assert align_blocked_chain([a, a], e, c) == [0, 0]
+
+
+def test_blocked_chain_nondefault_scoring(rng):
+    from trialign.config import Scoring
+    from trialign.kernels.blocked import align_blocked_chain
+
+    sc = Scoring(match=2, mismatch=-3, gap_open=4, gap_extend=1, s3_mode="rtl")
+    a_list = [random_triplet(rng, 15, 1, 1)[0] for _ in range(3)]
+    _, b, c = random_triplet(rng, 1, 22, 35)
+    want = [align_planes_numpy(a, b, c, sc) for a in a_list]
+    assert align_blocked_chain(a_list, b, c, sc, block_shape=(16, 128)) == want

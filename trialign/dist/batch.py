@@ -294,6 +294,92 @@ def align_batch_bucketed(
     return out
 
 
+def align_batch_multihost(
+    triplets: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    scoring: Scoring = Scoring(),
+    mesh: Optional[Mesh] = None,
+    engine: Optional[str] = None,
+) -> List[int]:
+    """Multi-host (DCN) batch alignment over the global device mesh.
+
+    Every participating process must call this with the SAME triplets (the
+    usual SPMD contract).  Inputs become global arrays sharded over the
+    'data' axis via make_array_from_callback, the batched core runs under
+    shard_map exactly as in :func:`align_batch_sharded`, and the scores are
+    allgathered back to every process.  Requires jax.distributed to be
+    initialized (trialign.dist.mesh.init_distributed); also works
+    single-process, where it degenerates to align_batch_sharded.
+
+    This is the DCN half of the distributed backend the reference never
+    had (its host link, RIFFA PCIe, was never committed --
+    reference: .gitignore:4; SURVEY.md section 2)."""
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding
+
+    if not triplets:
+        return []
+    if mesh is None:
+        from trialign.dist.mesh import multihost_mesh
+
+        mesh = multihost_mesh()
+    if jax.process_count() == 1:
+        return align_batch_sharded(triplets, scoring, mesh, engine)
+    # The vmap core needs the wavefront caps; long triplets go through the
+    # local bucketed chain on every process (replicated work -- acceptable
+    # for the rare long tail; the sharded fast path carries the volume).
+    long_idx = [
+        i
+        for i, t in enumerate(triplets)
+        if len(t[1]) > 255 or len(t[2]) > 255 or len(t[0]) > 4096
+        or min(map(len, t)) == 0
+    ]
+    if long_idx:
+        long_set = set(long_idx)
+        short_idx = [i for i in range(len(triplets)) if i not in long_set]
+        out = [0] * len(triplets)
+        for i, s in zip(long_idx, align_batch_bucketed(
+                [triplets[i] for i in long_idx], scoring)):
+            out[i] = s
+        if short_idx:
+            for i, s in zip(short_idx, align_batch_multihost(
+                    [triplets[i] for i in short_idx], scoring, mesh, engine)):
+                out[i] = s
+        return out
+
+    ndata = mesh.shape["data"]
+    n = len(triplets)
+    padded = list(triplets)
+    while len(padded) % ndata:
+        padded.append(padded[0])
+    lens, askew, bp, cp, lab, hb, wc = prep_padded(padded)
+    if engine is None:
+        engine, interpret = _pick_engine()
+    else:
+        interpret = engine == "pallas" and jax.default_backend() != "tpu"
+
+    spec = P("data")
+    sh = NamedSharding(mesh, spec)
+
+    def to_global(x):
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    core = functools.partial(
+        _batched_scores,
+        lab=lab, hb=hb, wc=wc, scoring=scoring, engine=engine,
+        interpret=interpret,
+    )
+    fn = jax.shard_map(
+        lambda l, ak, b_, c_: core(l, ak, b_, c_),
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    scores = fn(to_global(lens), to_global(askew), to_global(bp), to_global(cp))
+    gathered = multihost_utils.process_allgather(scores, tiled=True)
+    return [int(s) for s in np.asarray(gathered)[:n]]
+
+
 def align_batch_sharded(
     triplets: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
     scoring: Scoring = Scoring(),

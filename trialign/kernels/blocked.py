@@ -54,6 +54,25 @@ DEF_WC = 256  # default plane cols (k): halo + Tc cells
 # feasible block-shape set -- so the planner picks 8/16/24 per problem.
 DEF_UNB = 8
 
+# Mosaic's default scoped-VMEM ceiling (16 MB) is far below v5e's physical
+# VMEM: shapes beyond it compile and run fine with vmem_limit_bytes raised
+# (probed: a (264, 640) plane set at ~26 MB works).  But an EXPLICIT limit
+# slows XLA's compile 4-6x, so it is requested only when the geometry
+# actually needs it (see _vmem_limit_for).
+VMEM_DEFAULT_CAP = 16 * 2**20
+
+
+def _vmem_limit_for(dims):
+    """vmem_limit_bytes for a geometry: None when the default 16 MB cap
+    suffices (fast compiles), else the estimated requirement plus margin."""
+    hb, wc, unb = dims[0], dims[1], dims[10]
+    hbp = _round_up(hb, 128)
+    est = ((16 + 2 * unb) * hb * wc + 2 * (hb + unb) * wc
+           + 2 * 8 * unb * (2 * wc + 2 * hbp + hb)) * 4
+    if est <= VMEM_DEFAULT_CAP - 2 * 2**20:
+        return None
+    return est + est // 4 + 2 * 2**20
+
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
@@ -119,6 +138,30 @@ def plan_dims(la: int, lb: int, lc: int, hb: int = DEF_HB, wc: int = DEF_WC,
     return (hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb)
 
 
+def plan_dims_packed(la: int, lb: int, lc: int, npack: int,
+                     hb: int = DEF_HB, wc: int = DEF_WC,
+                     unb: int = DEF_UNB) -> Tuple:
+    """plan_dims for an A-axis chain of ``npack`` problems of equal shape
+    (la, lb, lc), stacked at pitch d = la + 1 along the A axis inside ONE
+    sweep.  The chain amortizes the wavefront ramp (tb + tc planes) and all
+    per-dispatch overhead over npack alignments -- the software analogue of
+    keeping the reference's PE array busy back-to-back instead of its
+    one-triplet-at-a-time host FSM (reference: src/TriAlign_tb.sv:313-333).
+
+    Returns the 11-tuple plan_dims geometry extended with (d, npack)."""
+    d = la + 1  # slot m's zero i-border sits at i = m*d: 100% i-fill
+    tb, tc = hb - 1, wc - 1
+    lab = _round_up(max(npack * d, 16), 16)
+    n_jb = max(1, -(-lb // tb))
+    n_kb = max(1, -(-lc // tc))
+    qqb = _round_up(lab + tb + tc, unb)
+    kdim = _round_up(n_kb * tc + wc + 1, 128)
+    jdim = _round_up(n_jb * tb + hb + 1, 8)
+    sr1 = qqb + 2 * unb + 2
+    sr2 = qqb + 2 * unb + 2
+    return (hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb, d, npack)
+
+
 def _block_sweep(
     dims,
     scoring,
@@ -148,7 +191,10 @@ def _block_sweep(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, UNB = dims
+    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, UNB = dims[:11]
+    # A-axis chain packing (plan_dims_packed): npack problems at i-pitch
+    # CHD; 0/1 = off (the single-problem layout, zero extra per-step cost).
+    CHD, NPACK = (dims[11], dims[12]) if len(dims) > 11 else (0, 1)
     SOFF = UNB  # face-row guard band (absorbs ramp-up writes)
     FROWS = 8 * UNB  # flat slab rows per macro batch
     tb, tc = hb - 1, wc - 1
@@ -167,6 +213,13 @@ def _block_sweep(
     edge = (jl >= 1) & (kl >= 1)
     s_bc = jnp.where(bp == cp, match, mismatch)
     cellmask = (jl == jlstar) & (kl == klstar)
+    if CHD > 0:
+        # Chain mask precompute: cell (jl, kl) at step q holds global
+        # i = q - jl - kl (consistent across blocks: the face skew shifts
+        # q by exactly the block offset).  Slot borders are i = m*CHD;
+        # i mod CHD = (q mod CHD) - (jk mod CHD) without double wrap since
+        # both operands are in [0, CHD).
+        jkmod = jax.lax.rem(jk, jnp.int32(CHD))
 
     def rd_row_dma(it, slot):
         # face rows q + SOFF for q in [UNB*it+1, UNB*(it+1)] -> FROWS flat rows.
@@ -263,11 +316,15 @@ def _block_sweep(
             cands, m7p1 = fused_plane_update_m7(
                 p1, p2, m7p3, subs, groups, jnp.maximum, roll1
             )
+            # Not-yet-reached cells (i < 1) must stay 0 -- they are
+            # the zero borders future planes read.  In chain mode, slot
+            # borders i = m*CHD are additional zero faces.
+            valid = (jk <= q - 1) & edge
+            if CHD > 0:
+                tmod = jax.lax.rem(q, jnp.int32(CHD)) - jkmod
+                valid = valid & (tmod != 0)
             new = []
             for t in range(NUM_MATRICES):
-                # Not-yet-reached cells (i < 1) must stay 0 -- they are
-                # the zero borders future planes read.
-                valid = (jk <= q - 1) & edge
                 cand = jnp.where(valid, cands[t], zero)
                 # Halo install: column 0 from the col face, then row 0
                 # from the row face (row wins at [0,0], where the staged
@@ -287,11 +344,30 @@ def _block_sweep(
                 st_r[slot, 8 * u + t, :] = cand[tb, :]
                 st_c[slot, :, 8 * u + t] = cand[:, tc]
 
-            # Final-cell capture for the block containing (lb, lc).
-            @pl.when(q == qstar)
-            def _():
-                for t in range(NUM_MATRICES):
-                    out_ref[t, 0] = jnp.sum(jnp.where(cellmask, new[t], 0))
+            if CHD > 0:
+                # Chain capture: slot m's final cell lives in plane
+                # qstar + m*CHD; one step later m7p1 (the carried 7-way
+                # max of the just-finished plane) holds its score at
+                # (jlstar, klstar).  qstar is -1 in non-target blocks.
+                rel = q - 1 - qstar
+                hit = (
+                    (qstar >= 0)
+                    & (rel >= 0)
+                    & (rel < NPACK * CHD)
+                    & (jax.lax.rem(rel, jnp.int32(CHD)) == 0)
+                )
+
+                @pl.when(hit)
+                def _():
+                    m = jax.lax.div(rel, jnp.int32(CHD))
+                    out_ref[m, 0] = jnp.sum(jnp.where(cellmask, m7p1, 0))
+
+            else:
+                # Final-cell capture for the block containing (lb, lc).
+                @pl.when(q == qstar)
+                def _():
+                    for t in range(NUM_MATRICES):
+                        out_ref[t, 0] = jnp.sum(jnp.where(cellmask, new[t], 0))
 
             # m7p1 (= max7 of the already-final plane q-1, from the raw
             # group maxes) becomes max7(q-2) for the next step's carry.
@@ -355,7 +431,8 @@ def make_block_call(dims: Tuple, n_srf_slabs: int, n_cf_slabs: int, scoring: Sco
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims
+    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims[:11]
+    nout = max(8, dims[12]) if len(dims) > 11 else 8
     kernel = _make_block_kernel(dims, scoring)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -383,11 +460,17 @@ def make_block_call(dims: Tuple, n_srf_slabs: int, n_cf_slabs: int, scoring: Sco
         out_shape=(
             jax.ShapeDtypeStruct((n_srf_slabs, 8 * sr1, wc), jnp.int32),
             jax.ShapeDtypeStruct((n_cf_slabs, 8 * sr2, _round_up(hb, 128)), jnp.int32),
-            jax.ShapeDtypeStruct((8, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nout, 1), jnp.int32),
         ),
         input_output_aliases={5: 0, 6: 1},
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # Raised only for geometries beyond the default 16 MB scoped
+            # cap: big single-k-block shapes (better j/k fill) need it,
+            # while an explicit limit slows compiles for everyone else.
+            vmem_limit_bytes=_vmem_limit_for(dims),
+        ),
     )
 
 
@@ -411,7 +494,8 @@ def make_grid_call(dims: Tuple, scoring: Scoring, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims
+    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims[:11]
+    nout = max(8, dims[12]) if len(dims) > 11 else 8
     kernel = _make_grid_kernel(dims, scoring)
     n_blocks = n_jb * n_kb
 
@@ -430,17 +514,23 @@ def make_grid_call(dims: Tuple, scoring: Scoring, interpret: bool):
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.HBM),  # srf (aliased)
             pl.BlockSpec(memory_space=pltpu.HBM),  # cf (aliased)
-            pl.BlockSpec((8, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nout, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_kb, 8 * sr1, wc), jnp.int32),
             jax.ShapeDtypeStruct((n_jb, 8 * sr2, _round_up(hb, 128)), jnp.int32),
-            jax.ShapeDtypeStruct((8, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nout, 1), jnp.int32),
         ),
         input_output_aliases={5: 0, 6: 1},
         interpret=interpret,
         scratch_shapes=_scratch_shapes(hb, wc, unb),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # Raised only for geometries beyond the default 16 MB scoped
+            # cap: big single-k-block shapes (better j/k fill) need it,
+            # while an explicit limit slows compiles for everyone else.
+            vmem_limit_bytes=_vmem_limit_for(dims),
+        ),
     )
 
 
@@ -457,7 +547,7 @@ def _blocked_core_scan(lens, a_ext, b_arr, c_arr, dims, scoring, interpret):
     interpret mode, where the fused grid's input/output aliasing is not
     threaded across grid steps (each step would see the original input
     snapshot instead of earlier blocks' face writes)."""
-    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims
+    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims[:11]
     tb, tc = hb - 1, wc - 1
     la, lb, lc = lens[0], lens[1], lens[2]
     askew = _build_askew_blocked(a_ext, qqb, hb, wc, unb)
@@ -472,7 +562,8 @@ def _blocked_core_scan(lens, a_ext, b_arr, c_arr, dims, scoring, interpret):
 
     srf0 = jnp.zeros((n_kb, 8 * sr1, wc), jnp.int32)
     cf0 = jnp.zeros((n_jb, 8 * sr2, _round_up(hb, 128)), jnp.int32)
-    res0 = jnp.zeros((8, 1), jnp.int32)
+    nout = max(8, dims[12]) if len(dims) > 11 else 8
+    res0 = jnp.zeros((nout, 1), jnp.int32)
 
     def scan_body(carry, idx):
         srf, cf, res = carry
@@ -511,7 +602,7 @@ def _blocked_core_scan(lens, a_ext, b_arr, c_arr, dims, scoring, interpret):
 def _blocked_core(lens, a_ext, b_arr, c_arr, dims, scoring, interpret):
     if interpret:
         return _blocked_core_scan(lens, a_ext, b_arr, c_arr, dims, scoring, interpret)
-    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims
+    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims[:11]
     tb, tc = hb - 1, wc - 1
     la, lb, lc = lens[0], lens[1], lens[2]
     n_blocks = n_jb * n_kb
@@ -588,7 +679,7 @@ def align_blocked(
     else:
         hb, wc, unb = choose_block_shape(la, lb, lc)
     dims = plan_dims(la, lb, lc, hb, wc, unb)
-    _, _, lab, _, _, _, kdim, jdim, _, _, _ = dims
+    _, _, lab, _, _, _, kdim, jdim, _, _, _ = dims[:11]
 
     a_ext = np.full(lab + 2, PAD_SYMBOL, dtype=np.int32)
     a_ext[1 : la + 1] = a
@@ -608,3 +699,71 @@ def align_blocked(
         interpret,
     )
     return int(jax.device_get(res)[:NUM_MATRICES, 0].max())
+
+
+def prep_chain(a_list, b, c, dims):
+    """Host arrays for an A-axis chain: the concatenated A' vector (slot m's
+    symbols at global i = m*d+1 .. m*d+la, slot borders at i = m*d) plus the
+    shared B/C arrays."""
+    hb, wc = dims[0], dims[1]
+    lab, kdim, jdim = dims[2], dims[6], dims[7]
+    d, npack = dims[11], dims[12]
+    la = d - 1
+    a_ext = np.full(lab + 2, PAD_SYMBOL, dtype=np.int32)
+    for m, a in enumerate(a_list):
+        a_ext[m * d + 1 : m * d + 1 + la] = a
+    b_arr = np.full(jdim + hb + 8, PAD_SYMBOL - 1, dtype=np.int32)
+    b_arr[1 : len(b) + 1] = b
+    c_arr = np.full(kdim + wc + 8, PAD_SYMBOL - 2, dtype=np.int32)
+    c_arr[1 : len(c) + 1] = c
+    lens = np.array([la, len(b), len(c)], dtype=np.int32)
+    return lens, a_ext, b_arr, c_arr
+
+
+def align_blocked_chain(
+    a_list,
+    b,
+    c,
+    scoring: Scoring = Scoring(),
+    interpret: Optional[bool] = None,
+    block_shape: Optional[Tuple[int, int]] = None,
+):
+    """Score a chain of equal-length A sequences against shared B, C in ONE
+    fused sweep: the problems stack along the A axis at pitch |A|+1, so the
+    wavefront ramp (tb + tc planes) and every per-dispatch cost amortize
+    over the whole chain.  Returns one exact score per A.
+
+    This is the back-to-back throughput mode the reference could not do:
+    its host FSM re-started the array per triplet
+    (reference: src/TriAlign_tb.sv:313-333)."""
+    a_list = [np.asarray(a) for a in a_list]
+    b = np.asarray(b)
+    c = np.asarray(c)
+    if not a_list:
+        return []
+    la = len(a_list[0])
+    if any(len(a) != la for a in a_list):
+        raise ValueError("align_blocked_chain requires equal-length A's")
+    lb, lc = len(b), len(c)
+    if min(la, lb, lc) == 0:
+        return [0] * len(a_list)
+    npack = len(a_list)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if block_shape:
+        hb, wc = block_shape[0], block_shape[1]
+        unb = block_shape[2] if len(block_shape) > 2 else DEF_UNB
+    else:
+        hb, wc, unb = choose_block_shape(npack * (la + 1), lb, lc)
+    dims = plan_dims_packed(la, lb, lc, npack, hb, wc, unb)
+    lens, a_ext, b_arr, c_arr = prep_chain(a_list, b, c, dims)
+    res = _blocked_core(
+        jnp.asarray(lens),
+        jnp.asarray(a_ext),
+        jnp.asarray(b_arr),
+        jnp.asarray(c_arr),
+        dims,
+        scoring,
+        interpret,
+    )
+    return [int(s) for s in jax.device_get(res)[:npack, 0]]
