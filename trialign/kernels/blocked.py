@@ -184,10 +184,21 @@ def _block_sweep(
     rd_sem,
     wr_sem,
     ak_sem,
+    hetero=None,
 ):
     """One block pillar's full q-sweep (shared by the per-call and fused-grid
     kernels).  ``scalars`` = (jb, kb, qstar, jlstar, klstar) traced int32;
-    ``bp``/``cp``/``zero`` are (hb, wc) plane VALUES."""
+    ``bp``/``cp``/``zero`` are (hb, wc) plane VALUES.
+
+    ``hetero`` (heterogeneous A-axis chains: every slot has its own B and C)
+    is (bpt, cpt, qcap, bp_ring, cp_ring, ring_sem): HBM tables of per-slot
+    B/C planes, the per-cell capture-step table, and the VMEM ring buffers
+    the active slots' planes rotate through.  A cell at step q belongs to
+    slot m = (q - jk - 1) div CHD, which partitions the plane into <= NB
+    contiguous jk-bands; the per-step symbol planes are band-selects over
+    the ring.  Capture goes to a carried plane (cap) written to out_ref at
+    the end: out is then a (1, hb, wc) cap plane, not the (nout, 1) score
+    column."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -195,6 +206,8 @@ def _block_sweep(
     # A-axis chain packing (plan_dims_packed): npack problems at i-pitch
     # CHD; 0/1 = off (the single-problem layout, zero extra per-step cost).
     CHD, NPACK = (dims[11], dims[12]) if len(dims) > 11 else (0, 1)
+    NB = dims[13] if len(dims) > 13 else 0  # hetero band count
+    NBR = NB + 3  # ring slots: NB active + in-flight DMA + retire margin
     SOFF = UNB  # face-row guard band (absorbs ramp-up writes)
     FROWS = 8 * UNB  # flat slab rows per macro batch
     tb, tc = hb - 1, wc - 1
@@ -211,7 +224,11 @@ def _block_sweep(
     kl = jax.lax.broadcasted_iota(jnp.int32, (hb, wc), 1)
     jk = jl + kl
     edge = (jl >= 1) & (kl >= 1)
-    s_bc = jnp.where(bp == cp, match, mismatch)
+    if hetero is None:
+        s_bc = jnp.where(bp == cp, match, mismatch)
+    else:
+        bpt, cpt, qcap_ref, bp_ring, cp_ring, ring_sem = hetero
+        qcap = qcap_ref[0]
     cellmask = (jl == jlstar) & (kl == klstar)
     if CHD > 0:
         # Chain mask precompute: cell (jl, kl) at step q holds global
@@ -256,17 +273,64 @@ def _block_sweep(
             askew_ref.at[pl.ds(base, hb + UNB)], ak_buf.at[slot], ak_sem.at[slot]
         )
 
+    if hetero is not None:
+        def ring_dma(s):
+            """Load slot s's B and C planes into ring position s mod NBR."""
+            pos = jax.lax.rem(s, jnp.int32(NBR))
+            return (
+                pltpu.make_async_copy(
+                    bpt.at[jb, s], bp_ring.at[pos], ring_sem.at[0, pos]
+                ),
+                pltpu.make_async_copy(
+                    cpt.at[kb, s], cp_ring.at[pos], ring_sem.at[1, pos]
+                ),
+            )
+
     # Warm up the read pipeline.
     rd_row_dma(0, 0).start()
     rd_col_dma(0, 0).start()
     ak_dma(0, 0).start()
+    if hetero is not None:
+        # Start slots 0 and 1 (slot s loads one CHD ahead of first use);
+        # wait slot 0 here -- slot 1's wait happens at the q = CHD swap,
+        # matching every later slot's start-at-(s-1)*CHD / wait-at-s*CHD
+        # schedule (each DMA must be waited exactly once).
+        for s in range(min(2, NPACK)):
+            for d_ in ring_dma(jnp.int32(s)):
+                d_.start()
+        for d_ in ring_dma(jnp.int32(0)):
+            d_.wait()
 
     def roll1(x, axis):
         return pltpu.roll(x, 1, axis)
 
     def macro(it, carry):
-        p1, p2, m7p2, m7p3 = carry
+        if hetero is not None:
+            p1, p2, m7p2, m7p3, cap = carry
+        else:
+            p1, p2, m7p2, m7p3 = carry
         slot = jax.lax.rem(it, 2)
+
+        if hetero is not None:
+            # At most one chain-slot swap per macro (CHD > UNB): at
+            # q = t*CHD, finish slot t's DMA (started one CHD earlier)
+            # and start slot t+1's.  Bands never select a slot before
+            # q = s*CHD + 3, so the wait at q = t*CHD is early enough.
+            qlo = UNB * it + 1
+            t_ = jax.lax.div(qlo + jnp.int32(CHD) - 1, jnp.int32(CHD))
+            t_q = t_ * CHD
+
+            @pl.when((t_ >= 1) & (t_q >= qlo) & (t_q <= UNB * it + UNB))
+            def _():
+                @pl.when(t_ <= NPACK - 1)
+                def _():
+                    for d_ in ring_dma(t_):
+                        d_.wait()
+
+                @pl.when(t_ + 1 <= NPACK - 1)
+                def _():
+                    for d_ in ring_dma(t_ + 1):
+                        d_.start()
 
         # Finish the writes that used this slot two macros ago before
         # restaging into it.
@@ -297,21 +361,40 @@ def _block_sweep(
         for u in range(UNB):
             q = UNB * it + u + 1
             ap = win[UNB - 1 - u : UNB - 1 - u + hb, :]
-            s_ab = jnp.where(ap == bp, match, mismatch)
-            s_ac = jnp.where(ap == cp, match, mismatch)
+            if hetero is not None:
+                # Band-select the symbol planes: cell slot
+                # m = (q - jk - 1) div CHD spans bands m0..m0+NB-1; band
+                # b's cells satisfy jk < q - (m0+b)*CHD.
+                m0 = jax.lax.div(
+                    jnp.maximum(q - (hb + wc - 2) - 1, 0), jnp.int32(CHD)
+                )
+                bsel = bp_ring[jax.lax.rem(m0, jnp.int32(NBR))]
+                csel = cp_ring[jax.lax.rem(m0, jnp.int32(NBR))]
+                for b_ in range(1, NB):
+                    mb = m0 + b_
+                    in_band = jk < q - mb * CHD
+                    pos = jax.lax.rem(mb, jnp.int32(NBR))
+                    bsel = jnp.where(in_band, bp_ring[pos], bsel)
+                    csel = jnp.where(in_band, cp_ring[pos], csel)
+                bq, cq = bsel, csel
+                s_bc_q = jnp.where(bq == cq, match, mismatch)
+            else:
+                bq, cq, s_bc_q = bp, cp, s_bc
+            s_ab = jnp.where(ap == bq, match, mismatch)
+            s_ac = jnp.where(ap == cq, match, mismatch)
             if sop:
-                s3 = s_ab + s_ac + s_bc
+                s3 = s_ab + s_ac + s_bc_q
             else:
                 s3 = jnp.where(
-                    ap == bp,
+                    ap == bq,
                     jnp.where(
-                        bp == cp,
+                        bq == cq,
                         np.int32(3 * scoring.match),
                         np.int32((scoring.match + scoring.mismatch) * 2),
                     ),
                     np.int32(3 * scoring.mismatch),
                 )
-            subs = (s3, 0, 0, 0, s_ab, s_bc, s_ac)
+            subs = (s3, 0, 0, 0, s_ab, s_bc_q, s_ac)
 
             cands, m7p1 = fused_plane_update_m7(
                 p1, p2, m7p3, subs, groups, jnp.maximum, roll1
@@ -344,7 +427,13 @@ def _block_sweep(
                 st_r[slot, 8 * u + t, :] = cand[tb, :]
                 st_c[slot, :, 8 * u + t] = cand[:, tc]
 
-            if CHD > 0:
+            if hetero is not None:
+                # Per-cell capture: qcap[cell] holds the plane index of the
+                # cell's slot-final value; m7p1 at step q is max7(plane
+                # q-1).  The packer guarantees distinct final cells per
+                # block, so one capture plane suffices.
+                cap = jnp.where(qcap == q - 1, m7p1, cap)
+            elif CHD > 0:
                 # Chain capture: slot m's final cell lives in plane
                 # qstar + m*CHD; one step later m7p1 (the carried 7-way
                 # max of the just-finished plane) holds its score at
@@ -376,10 +465,18 @@ def _block_sweep(
         st_ct[slot, :, 0:hb] = jnp.swapaxes(st_c[slot], 0, 1)
         wr_row_dma(it, slot).start()
         wr_col_dma(it, slot).start()
+        if hetero is not None:
+            return (p1, p2, m7p2, m7p3, cap)
         return (p1, p2, m7p2, m7p3)
 
     zeros7 = (zero,) * NUM_MATRICES
-    jax.lax.fori_loop(0, nmac, macro, (zeros7, zeros7, zero, zero))
+    if hetero is not None:
+        final = jax.lax.fori_loop(
+            0, nmac, macro, (zeros7, zeros7, zero, zero, zero)
+        )
+        out_ref[0] = final[4]
+    else:
+        jax.lax.fori_loop(0, nmac, macro, (zeros7, zeros7, zero, zero))
 
     # Drain outstanding writes so the HBM faces are complete before the
     # next block (same kernel next grid step, or next pallas_call) reads.
@@ -529,6 +626,127 @@ def make_grid_call(dims: Tuple, scoring: Scoring, interpret: bool):
             # Raised only for geometries beyond the default 16 MB scoped
             # cap: big single-k-block shapes (better j/k fill) need it,
             # while an explicit limit slows compiles for everyone else.
+            vmem_limit_bytes=_vmem_limit_for(dims),
+        ),
+    )
+
+
+def _hetero_scratch_shapes(hb, wc, unb, nbr):
+    from jax.experimental.pallas import tpu as pltpu
+
+    return _scratch_shapes(hb, wc, unb) + [
+        pltpu.VMEM((nbr, hb, wc), jnp.int32),  # bp_ring
+        pltpu.VMEM((nbr, hb, wc), jnp.int32),  # cp_ring
+        pltpu.SemaphoreType.DMA((2, nbr)),  # ring_sem
+    ]
+
+
+def make_hetero_grid_call(dims: Tuple, scoring: Scoring, interpret: bool):
+    """Fused grid pallas_call for heterogeneous chains (per-slot B/C planes
+    band-selected from HBM tables; per-cell capture plane per block)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims[:11]
+    nbr = dims[13] + 3
+    n_blocks = n_jb * n_kb
+
+    def kernel(scal_ref, askew_ref, qcap_ref, zeros_ref, srf_in, cf_in,
+               bpt, cpt, srf_out, cf_out, out_ref, *scratch):
+        scalars = tuple(scal_ref[0, 0, i] for i in (3, 4, 5, 6, 7))
+        base, ring = scratch[:9], scratch[9:]
+        hetero = (bpt, cpt, qcap_ref, ring[0], ring[1], ring[2])
+        _block_sweep(
+            dims, scoring, scalars, askew_ref, zeros_ref[:], zeros_ref[:],
+            zeros_ref[:], srf_in, cf_in, srf_out, cf_out, out_ref,
+            *base, hetero=hetero,
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # askew
+            pl.BlockSpec((1, hb, wc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),  # qcap
+            pl.BlockSpec((hb, wc), lambda i: (0, 0), memory_space=pltpu.VMEM),  # zeros
+            pl.BlockSpec(memory_space=pltpu.HBM),  # srf
+            pl.BlockSpec(memory_space=pltpu.HBM),  # cf
+            pl.BlockSpec(memory_space=pltpu.HBM),  # bpt
+            pl.BlockSpec(memory_space=pltpu.HBM),  # cpt
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.HBM),  # srf (aliased)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # cf (aliased)
+            pl.BlockSpec((1, hb, wc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_kb, 8 * sr1, wc), jnp.int32),
+            jax.ShapeDtypeStruct((n_jb, 8 * sr2, _round_up(hb, 128)), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, hb, wc), jnp.int32),
+        ),
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interpret,
+        scratch_shapes=_hetero_scratch_shapes(hb, wc, unb, nbr),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=_vmem_limit_for(dims),
+        ),
+    )
+
+
+def make_hetero_block_call(dims: Tuple, scoring: Scoring, interpret: bool):
+    """Per-call hetero kernel (one block per pallas_call) for the interpret
+    scan fallback, which cannot thread grid-step io-aliasing."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims[:11]
+    nbr = dims[13] + 3
+
+    def kernel(scal_ref, askew_ref, qcap_ref, zeros_ref, srf_in, cf_in,
+               bpt, cpt, srf_out, cf_out, out_ref, *scratch):
+        scalars = tuple(scal_ref[i] for i in (3, 4, 5, 6, 7))
+        base, ring = scratch[:9], scratch[9:]
+        hetero = (bpt, cpt, qcap_ref, ring[0], ring[1], ring[2])
+        _block_sweep(
+            dims, scoring, scalars, askew_ref, zeros_ref[:], zeros_ref[:],
+            zeros_ref[:], srf_in, cf_in, srf_out, cf_out, out_ref,
+            *base, hetero=hetero,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),  # askew
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # qcap (1, hb, wc)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # zeros
+            pl.BlockSpec(memory_space=pltpu.HBM),  # srf
+            pl.BlockSpec(memory_space=pltpu.HBM),  # cf
+            pl.BlockSpec(memory_space=pltpu.HBM),  # bpt
+            pl.BlockSpec(memory_space=pltpu.HBM),  # cpt
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.HBM),  # srf (aliased)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # cf (aliased)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cap (1, hb, wc)
+        ),
+        scratch_shapes=_hetero_scratch_shapes(hb, wc, unb, nbr),
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_kb, 8 * sr1, wc), jnp.int32),
+            jax.ShapeDtypeStruct((n_jb, 8 * sr2, _round_up(hb, 128)), jnp.int32),
+            jax.ShapeDtypeStruct((1, hb, wc), jnp.int32),
+        ),
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
             vmem_limit_bytes=_vmem_limit_for(dims),
         ),
     )
