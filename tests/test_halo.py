@@ -50,3 +50,39 @@ def test_scaling_efficiency_model():
     assert scaling_efficiency(32, 2) > 0.96
     assert scaling_efficiency(32, 8) > 0.8
     assert scaling_efficiency(1, 1) == 1.0
+
+
+def test_halo_planner_geometry(rng):
+    """Production geometry: align_sharded_triplet with the PLANNER-chosen
+    block shape (no toy override), on a 4-device mesh, with n_kb NOT a
+    multiple of the device count (so the k-padding path executes).
+    Round-1 VERDICT item 7."""
+    a, b, c = random_triplet(rng, 16, 140, 300)
+    want = align_planes_numpy(a, b, c)
+    got = align_sharded_triplet(a, b, c, mesh=make_mesh(data=1, model=4))
+    assert got == want
+
+
+def test_halo_uneven_kb_padding(rng):
+    """n_kb % ndev != 0: 3 real block columns on 2 devices pads to 4; the
+    extra padded stripe must not perturb the score."""
+    a, b, c = random_triplet(rng, 8, 30, 3 * 127)  # n_kb=3 at tc=127
+    want = align_planes_numpy(a, b, c)
+    got = align_sharded_triplet(
+        a, b, c, mesh=make_mesh(data=1, model=2), block_shape=(16, 128)
+    )
+    assert got == want
+
+
+def test_halo_efficiency_model_accounts_padding():
+    from trialign.dist.halo import halo_efficiency
+
+    # lc=300 at the planner's production shape is a single block column:
+    # 8 stripes compute ~7/8 padding and the model must say so.
+    eff = halo_efficiency(16, 140, 300, 8)
+    assert eff["k_fill"] <= 0.25
+    assert eff["total"] < 0.25
+    # Deep grids with k-aligned stripes approach the pipeline bound.
+    eff2 = halo_efficiency(1024, 4096, 8 * 511, 8, block_shape=(200, 512))
+    assert eff2["k_fill"] == 1.0
+    assert eff2["total"] > 0.7

@@ -40,6 +40,29 @@ def scaling_efficiency(n_jb: int, ndev: int) -> float:
     return n_jb / (n_jb + ndev - 1)
 
 
+def halo_efficiency(la: int, lb: int, lc: int, ndev: int,
+                    block_shape: Optional[Tuple[int, int]] = None) -> dict:
+    """Efficiency model of a halo-sharded run, INCLUDING the k-padding loss
+    from rounding the block-column count up to a multiple of the stripe
+    count (_plan pads n_kb to ndev, so 8 devices on a modest |C| compute
+    mostly padding -- this quantifies it).
+
+    Returns {'pipeline', 'k_fill', 'total'}; 'total' is the fraction of
+    ndev-chip peak the partitioning can reach."""
+    if block_shape:
+        hb, wc = block_shape[0], block_shape[1]
+        unb = block_shape[2] if len(block_shape) > 2 else BK.DEF_UNB
+    else:
+        hb, wc, unb = BK.choose_block_shape(la, lb, lc)
+    tb, tc = hb - 1, wc - 1
+    n_jb = max(1, -(-lb // tb))
+    n_kb_real = max(1, -(-lc // tc))
+    n_kb_padded = -(-n_kb_real // ndev) * ndev
+    pipe = scaling_efficiency(n_jb, ndev)
+    k_fill = n_kb_real / n_kb_padded
+    return {"pipeline": pipe, "k_fill": k_fill, "total": pipe * k_fill}
+
+
 def _plan(la, lb, lc, ndev, hb, wc, unb):
     tb, tc = hb - 1, wc - 1
     n_kb = max(1, -(-lc // tc))

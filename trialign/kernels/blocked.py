@@ -69,9 +69,14 @@ def _vmem_limit_for(dims):
     hbp = _round_up(hb, 128)
     est = ((16 + 2 * unb) * hb * wc + 2 * (hb + unb) * wc
            + 2 * 8 * unb * (2 * wc + 2 * hbp + hb)) * 4
+    if len(dims) > 13:
+        # hetero mode: B/C plane rings + qcap input + capture carry (and
+        # its Mosaic stack temporaries).
+        nbr = dims[13] + 3
+        est += (2 * nbr + 4) * hb * wc * 4
     if est <= VMEM_DEFAULT_CAP - 2 * 2**20:
         return None
-    return est + est // 4 + 2 * 2**20
+    return est + est // 2 + 4 * 2**20
 
 
 def _round_up(x, m):
