@@ -48,11 +48,15 @@ def plan_hetero(la_max: int, lb_max: int, lc_max: int, npack: int,
     """14-tuple dims for a hetero chain: plan_dims geometry + (d, npack, nb).
 
     d >= la_max + 1 (slot pitch), padded up when needed to keep the band
-    count NB = (hb + wc - 4) // d + 1 within MAX_BANDS."""
+    count within MAX_BANDS.  NB = S // d + 2 where S = hb + wc - 4: an
+    interval of S+1 consecutive global-i values can straddle S // d + 1
+    slot borders (floor alignment), i.e. touch S // d + 2 slots -- the +1
+    variant mis-selects the youngest cells right after a border crossing
+    (caught by a TPU parity probe at (240, 640), d = 470)."""
     d = la_max + 1
-    min_d = (hb + wc - 4) // MAX_BANDS + 1
+    min_d = (hb + wc - 4) // (MAX_BANDS - 1) + 1
     d = max(d, min_d)
-    nb = (hb + wc - 4) // d + 1
+    nb = (hb + wc - 4) // d + 2
     tb, tc = hb - 1, wc - 1
     lab = BK._round_up(max(npack * d, 16), 16)
     n_jb = max(1, -(-lb_max // tb))
@@ -79,8 +83,8 @@ def choose_chain_shape(la_max: int, lb_max: int, lc_max: int,
         for hb in range(BK._round_up(min(lb_max + 1, 128), 8), 528, 8):
             tb = hb - 1
             n_jb = max(1, -(-lb_max // tb))
-            dd_min = (hb + wc - 4) // MAX_BANDS + 1
-            nb = (hb + wc - 4) // max(d, dd_min) + 1
+            dd_min = (hb + wc - 4) // (MAX_BANDS - 1) + 1
+            nb = (hb + wc - 4) // max(d, dd_min) + 2
             nbr = nb + 3
             # carried planes + Mosaic temps + rings (faces, symbols, B/C)
             vmem = ((17 + 2 * 8) * hb * wc + 2 * nbr * hb * wc
