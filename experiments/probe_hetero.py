@@ -25,6 +25,7 @@ def probe(name, lo_a, hi_a, lo_bc, hi_bc, P):
         seen.add((lb, lc))
         trips.append(tuple(rng.integers(0, 4, s).astype(np.uint8) for s in (la, lb, lc)))
         cells += la * lb * lc
+    trips.sort(key=lambda t: -len(t[0]))
     la_max = max(len(t[0]) for t in trips)
     lb_max = max(len(t[1]) for t in trips)
     lc_max = max(len(t[2]) for t in trips)

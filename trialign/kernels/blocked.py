@@ -213,6 +213,12 @@ def _block_sweep(
     CHD, NPACK = (dims[11], dims[12]) if len(dims) > 11 else (0, 1)
     NB = dims[13] if len(dims) > 13 else 0  # hetero band count
     NBR = NB + 3  # ring slots: NB active + in-flight DMA + retire margin
+    # Face traffic exists only where a neighbor block will read it: with a
+    # single block row (column), the row (column) faces carry nothing but
+    # the zero border, so their DMAs, staging stores, and halo installs
+    # are skipped entirely -- a large win for single-block chain shapes.
+    NEED_ROW = n_jb > 1
+    NEED_COL = n_kb > 1
     SOFF = UNB  # face-row guard band (absorbs ramp-up writes)
     FROWS = 8 * UNB  # flat slab rows per macro batch
     tb, tc = hb - 1, wc - 1
@@ -232,16 +238,25 @@ def _block_sweep(
     if hetero is None:
         s_bc = jnp.where(bp == cp, match, mismatch)
     else:
-        bpt, cpt, qcap_ref, bp_ring, cp_ring, ring_sem = hetero
+        # Runtime chain parameters: the slot pitch d_rt and slot count
+        # npack_rt are SMEM scalars (one compiled kernel serves a whole
+        # geometry class); jkmod = jk mod d_rt arrives as an input plane
+        # (vector rem by a runtime scalar is not a Mosaic-friendly op).
+        (bpt, cpt, qcap_ref, jkmod_ref, d_rt, npack_rt,
+         bp_ring, cp_ring, ring_sem) = hetero
         qcap = qcap_ref[0]
+        jkmod = jkmod_ref[0]
+        CHD_E = d_rt
+        NPACK_E = npack_rt
     cellmask = (jl == jlstar) & (kl == klstar)
-    if CHD > 0:
+    if hetero is None and CHD > 0:
         # Chain mask precompute: cell (jl, kl) at step q holds global
         # i = q - jl - kl (consistent across blocks: the face skew shifts
         # q by exactly the block offset).  Slot borders are i = m*CHD;
         # i mod CHD = (q mod CHD) - (jk mod CHD) without double wrap since
         # both operands are in [0, CHD).
         jkmod = jax.lax.rem(jk, jnp.int32(CHD))
+        CHD_E = jnp.int32(CHD)
 
     def rd_row_dma(it, slot):
         # face rows q + SOFF for q in [UNB*it+1, UNB*(it+1)] -> FROWS flat rows.
@@ -292,22 +307,41 @@ def _block_sweep(
             )
 
     # Warm up the read pipeline.
-    rd_row_dma(0, 0).start()
-    rd_col_dma(0, 0).start()
+    if NEED_ROW:
+        rd_row_dma(0, 0).start()
+    if NEED_COL:
+        rd_col_dma(0, 0).start()
     ak_dma(0, 0).start()
     if hetero is not None:
-        # Start slots 0 and 1 (slot s loads one CHD ahead of first use);
-        # wait slot 0 here -- slot 1's wait happens at the q = CHD swap,
-        # matching every later slot's start-at-(s-1)*CHD / wait-at-s*CHD
+        # Start slots 0 and 1 (slot s loads one pitch ahead of first use);
+        # wait slot 0 here -- slot 1's wait happens at the q = d swap,
+        # matching every later slot's start-at-(s-1)*d / wait-at-s*d
         # schedule (each DMA must be waited exactly once).
-        for s in range(min(2, NPACK)):
-            for d_ in ring_dma(jnp.int32(s)):
+        for d_ in ring_dma(jnp.int32(0)):
+            d_.start()
+
+        @pl.when(npack_rt >= 2)
+        def _():
+            for d_ in ring_dma(jnp.int32(1)):
                 d_.start()
+
         for d_ in ring_dma(jnp.int32(0)):
             d_.wait()
 
     def roll1(x, axis):
         return pltpu.roll(x, 1, axis)
+
+    if hetero is not None:
+        # Runtime sweep bound: the chain needs npack*d + tb + tc planes
+        # (last capture one step after the last final cell); macros beyond
+        # that are dead work.  The prefetch guard below MUST use the same
+        # bound or the final macro would start DMAs nobody waits for.
+        nmac_rt = jnp.minimum(
+            jax.lax.div(npack_rt * d_rt + tb + tc + UNB - 1, jnp.int32(UNB)),
+            nmac,
+        )
+    else:
+        nmac_rt = nmac
 
     def macro(it, carry):
         if hetero is not None:
@@ -317,48 +351,56 @@ def _block_sweep(
         slot = jax.lax.rem(it, 2)
 
         if hetero is not None:
-            # At most one chain-slot swap per macro (CHD > UNB): at
-            # q = t*CHD, finish slot t's DMA (started one CHD earlier)
-            # and start slot t+1's.  Bands never select a slot before
-            # q = s*CHD + 3, so the wait at q = t*CHD is early enough.
+            # At most one chain-slot swap per macro (d > UNB, planner-
+            # enforced): at q = t*d, finish slot t's DMA (started one
+            # pitch earlier) and start slot t+1's.  Bands never select a
+            # slot before q = s*d + 3, so the wait at q = t*d is early
+            # enough.
             qlo = UNB * it + 1
-            t_ = jax.lax.div(qlo + jnp.int32(CHD) - 1, jnp.int32(CHD))
-            t_q = t_ * CHD
+            t_ = jax.lax.div(qlo + CHD_E - 1, CHD_E)
+            t_q = t_ * CHD_E
 
             @pl.when((t_ >= 1) & (t_q >= qlo) & (t_q <= UNB * it + UNB))
             def _():
-                @pl.when(t_ <= NPACK - 1)
+                @pl.when(t_ <= NPACK_E - 1)
                 def _():
                     for d_ in ring_dma(t_):
                         d_.wait()
 
-                @pl.when(t_ + 1 <= NPACK - 1)
+                @pl.when(t_ + 1 <= NPACK_E - 1)
                 def _():
                     for d_ in ring_dma(t_ + 1):
                         d_.start()
 
         # Finish the writes that used this slot two macros ago before
         # restaging into it.
-        @pl.when(it >= 2)
-        def _():
-            wr_row_dma(it - 2, slot).wait()
-            wr_col_dma(it - 2, slot).wait()
+        if NEED_ROW or NEED_COL:
+            @pl.when(it >= 2)
+            def _():
+                if NEED_ROW:
+                    wr_row_dma(it - 2, slot).wait()
+                if NEED_COL:
+                    wr_col_dma(it - 2, slot).wait()
 
-        rd_row_dma(it, slot).wait()
-        rd_col_dma(it, slot).wait()
+        if NEED_ROW:
+            rd_row_dma(it, slot).wait()
+        if NEED_COL:
+            rd_col_dma(it, slot).wait()
         ak_dma(it, slot).wait()
 
-        @pl.when(it + 1 < nmac)
+        @pl.when(it + 1 < nmac_rt)
         def _():
             nslot = jax.lax.rem(it + 1, 2)
-            rd_row_dma(it + 1, nslot).start()
-            rd_col_dma(it + 1, nslot).start()
+            if NEED_ROW:
+                rd_row_dma(it + 1, nslot).start()
+            if NEED_COL:
+                rd_col_dma(it + 1, nslot).start()
             ak_dma(it + 1, nslot).start()
 
-        rowbuf = rb_r[slot]  # (64, wc): rows 8u+t
-        # Column face arrives matrix-major (64, hb); one transpose per
-        # macro gives (hb, 64) with per-step static lane slices.
-        colbuf = jnp.swapaxes(rb_c[slot], 0, 1)  # (hb, 64)
+        rowbuf = rb_r[slot] if NEED_ROW else None  # (frows, wc): rows 8u+t
+        # Column face arrives matrix-major (frows, hb); one transpose per
+        # macro gives (hb, frows) with per-step static lane slices.
+        colbuf = jnp.swapaxes(rb_c[slot], 0, 1) if NEED_COL else None
 
         # Shared aligned symbol window for the UNB steps (DMA'd from HBM).
         win = ak_buf[slot]
@@ -371,13 +413,13 @@ def _block_sweep(
                 # m = (q - jk - 1) div CHD spans bands m0..m0+NB-1; band
                 # b's cells satisfy jk < q - (m0+b)*CHD.
                 m0 = jax.lax.div(
-                    jnp.maximum(q - (hb + wc - 2) - 1, 0), jnp.int32(CHD)
+                    jnp.maximum(q - (hb + wc - 2) - 1, 0), CHD_E
                 )
                 bsel = bp_ring[jax.lax.rem(m0, jnp.int32(NBR))]
                 csel = cp_ring[jax.lax.rem(m0, jnp.int32(NBR))]
                 for b_ in range(1, NB):
                     mb = m0 + b_
-                    in_band = jk < q - mb * CHD
+                    in_band = jk < q - mb * CHD_E
                     pos = jax.lax.rem(mb, jnp.int32(NBR))
                     bsel = jnp.where(in_band, bp_ring[pos], bsel)
                     csel = jnp.where(in_band, cp_ring[pos], csel)
@@ -408,29 +450,34 @@ def _block_sweep(
             # the zero borders future planes read.  In chain mode, slot
             # borders i = m*CHD are additional zero faces.
             valid = (jk <= q - 1) & edge
-            if CHD > 0:
-                tmod = jax.lax.rem(q, jnp.int32(CHD)) - jkmod
+            if hetero is not None or CHD > 0:
+                tmod = jax.lax.rem(q, CHD_E) - jkmod
                 valid = valid & (tmod != 0)
             new = []
             for t in range(NUM_MATRICES):
                 cand = jnp.where(valid, cands[t], zero)
                 # Halo install: column 0 from the col face, then row 0
                 # from the row face (row wins at [0,0], where the staged
-                # face carries the diagonal-corner value).
-                ccol = jnp.broadcast_to(
-                    colbuf[0:hb, 8 * u + t : 8 * u + t + 1], (hb, wc)
-                )
-                cand = jnp.where(kl == 0, ccol, cand)
-                crow = jnp.broadcast_to(
-                    rowbuf[8 * u + t : 8 * u + t + 1, :], (hb, wc)
-                )
-                cand = jnp.where(jl == 0, crow, cand)
+                # face carries the diagonal-corner value).  Single-block
+                # dimensions keep the masked zero border instead.
+                if NEED_COL:
+                    ccol = jnp.broadcast_to(
+                        colbuf[0:hb, 8 * u + t : 8 * u + t + 1], (hb, wc)
+                    )
+                    cand = jnp.where(kl == 0, ccol, cand)
+                if NEED_ROW:
+                    crow = jnp.broadcast_to(
+                        rowbuf[8 * u + t : 8 * u + t + 1, :], (hb, wc)
+                    )
+                    cand = jnp.where(jl == 0, crow, cand)
                 new.append(cand)
 
                 # Stage faces: bottom row (jl=tb) incl. the kl=0 corner;
                 # right column (kl=tc) incl. the jl=0 halo.
-                st_r[slot, 8 * u + t, :] = cand[tb, :]
-                st_c[slot, :, 8 * u + t] = cand[:, tc]
+                if NEED_ROW:
+                    st_r[slot, 8 * u + t, :] = cand[tb, :]
+                if NEED_COL:
+                    st_c[slot, :, 8 * u + t] = cand[:, tc]
 
             if hetero is not None:
                 # Per-cell capture: qcap[cell] holds the plane index of the
@@ -467,9 +514,11 @@ def _block_sweep(
             # group maxes) becomes max7(q-2) for the next step's carry.
             p1, p2, m7p2, m7p3 = tuple(new), p1, m7p1, m7p2
 
-        st_ct[slot, :, 0:hb] = jnp.swapaxes(st_c[slot], 0, 1)
-        wr_row_dma(it, slot).start()
-        wr_col_dma(it, slot).start()
+        if NEED_COL:
+            st_ct[slot, :, 0:hb] = jnp.swapaxes(st_c[slot], 0, 1)
+            wr_col_dma(it, slot).start()
+        if NEED_ROW:
+            wr_row_dma(it, slot).start()
         if hetero is not None:
             return (p1, p2, m7p2, m7p3, cap)
         return (p1, p2, m7p2, m7p3)
@@ -477,7 +526,7 @@ def _block_sweep(
     zeros7 = (zero,) * NUM_MATRICES
     if hetero is not None:
         final = jax.lax.fori_loop(
-            0, nmac, macro, (zeros7, zeros7, zero, zero, zero)
+            0, nmac_rt, macro, (zeros7, zeros7, zero, zero, zero)
         )
         out_ref[0] = final[4]
     else:
@@ -489,8 +538,10 @@ def _block_sweep(
         it_last = nmac - back
         if it_last >= 0:
             slot = it_last % 2
-            wr_row_dma(it_last, slot).wait()
-            wr_col_dma(it_last, slot).wait()
+            if NEED_ROW:
+                wr_row_dma(it_last, slot).wait()
+            if NEED_COL:
+                wr_col_dma(it_last, slot).wait()
 
 
 def _scratch_shapes(hb, wc, unb):
@@ -656,11 +707,14 @@ def make_hetero_grid_call(dims: Tuple, scoring: Scoring, interpret: bool):
     nbr = dims[13] + 3
     n_blocks = n_jb * n_kb
 
-    def kernel(scal_ref, askew_ref, qcap_ref, zeros_ref, srf_in, cf_in,
-               bpt, cpt, srf_out, cf_out, out_ref, *scratch):
+    def kernel(scal_ref, askew_ref, qcap_ref, jkmod_ref, zeros_ref, srf_in,
+               cf_in, bpt, cpt, srf_out, cf_out, out_ref, *scratch):
         scalars = tuple(scal_ref[0, 0, i] for i in (3, 4, 5, 6, 7))
+        d_rt = scal_ref[0, 0, 0]
+        npack_rt = scal_ref[0, 0, 5]
         base, ring = scratch[:9], scratch[9:]
-        hetero = (bpt, cpt, qcap_ref, ring[0], ring[1], ring[2])
+        hetero = (bpt, cpt, qcap_ref, jkmod_ref, d_rt, npack_rt,
+                  ring[0], ring[1], ring[2])
         _block_sweep(
             dims, scoring, scalars, askew_ref, zeros_ref[:], zeros_ref[:],
             zeros_ref[:], srf_in, cf_in, srf_out, cf_out, out_ref,
@@ -674,6 +728,7 @@ def make_hetero_grid_call(dims: Tuple, scoring: Scoring, interpret: bool):
             pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),  # askew
             pl.BlockSpec((1, hb, wc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),  # qcap
+            pl.BlockSpec((1, hb, wc), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),  # jkmod
             pl.BlockSpec((hb, wc), lambda i: (0, 0), memory_space=pltpu.VMEM),  # zeros
             pl.BlockSpec(memory_space=pltpu.HBM),  # srf
             pl.BlockSpec(memory_space=pltpu.HBM),  # cf
@@ -690,7 +745,7 @@ def make_hetero_grid_call(dims: Tuple, scoring: Scoring, interpret: bool):
             jax.ShapeDtypeStruct((n_jb, 8 * sr2, _round_up(hb, 128)), jnp.int32),
             jax.ShapeDtypeStruct((n_blocks, hb, wc), jnp.int32),
         ),
-        input_output_aliases={4: 0, 5: 1},
+        input_output_aliases={5: 0, 6: 1},
         interpret=interpret,
         scratch_shapes=_hetero_scratch_shapes(hb, wc, unb, nbr),
         compiler_params=pltpu.CompilerParams(
@@ -709,11 +764,14 @@ def make_hetero_block_call(dims: Tuple, scoring: Scoring, interpret: bool):
     hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims[:11]
     nbr = dims[13] + 3
 
-    def kernel(scal_ref, askew_ref, qcap_ref, zeros_ref, srf_in, cf_in,
-               bpt, cpt, srf_out, cf_out, out_ref, *scratch):
+    def kernel(scal_ref, askew_ref, qcap_ref, jkmod_ref, zeros_ref, srf_in,
+               cf_in, bpt, cpt, srf_out, cf_out, out_ref, *scratch):
         scalars = tuple(scal_ref[i] for i in (3, 4, 5, 6, 7))
+        d_rt = scal_ref[0]
+        npack_rt = scal_ref[5]
         base, ring = scratch[:9], scratch[9:]
-        hetero = (bpt, cpt, qcap_ref, ring[0], ring[1], ring[2])
+        hetero = (bpt, cpt, qcap_ref, jkmod_ref, d_rt, npack_rt,
+                  ring[0], ring[1], ring[2])
         _block_sweep(
             dims, scoring, scalars, askew_ref, zeros_ref[:], zeros_ref[:],
             zeros_ref[:], srf_in, cf_in, srf_out, cf_out, out_ref,
@@ -726,6 +784,7 @@ def make_hetero_block_call(dims: Tuple, scoring: Scoring, interpret: bool):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # askew
             pl.BlockSpec(memory_space=pltpu.VMEM),  # qcap (1, hb, wc)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # jkmod (1, hb, wc)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # zeros
             pl.BlockSpec(memory_space=pltpu.HBM),  # srf
             pl.BlockSpec(memory_space=pltpu.HBM),  # cf
@@ -748,7 +807,7 @@ def make_hetero_block_call(dims: Tuple, scoring: Scoring, interpret: bool):
             jax.ShapeDtypeStruct((n_jb, 8 * sr2, _round_up(hb, 128)), jnp.int32),
             jax.ShapeDtypeStruct((1, hb, wc), jnp.int32),
         ),
-        input_output_aliases={4: 0, 5: 1},
+        input_output_aliases={5: 0, 6: 1},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,

@@ -38,27 +38,32 @@ from trialign.kernels import blocked as BK
 # the planner pads the chain pitch d up instead of exceeding it.
 MAX_BANDS = 4
 
-# Chain length ladder: chains within a class share P so kernels recompile
-# only per (geometry, P) pair, not per chain.
-P_LADDER = (4, 8, 16, 32, 64)
-
-
-def plan_hetero(la_max: int, lb_max: int, lc_max: int, npack: int,
-                hb: int, wc: int, unb: int = BK.DEF_UNB) -> Tuple:
-    """14-tuple dims for a hetero chain: plan_dims geometry + (d, npack, nb).
-
-    d >= la_max + 1 (slot pitch), padded up when needed to keep the band
-    count within MAX_BANDS.  NB = S // d + 2 where S = hb + wc - 4: an
-    interval of S+1 consecutive global-i values can straddle S // d + 1
-    slot borders (floor alignment), i.e. touch S // d + 2 slots -- the +1
-    variant mis-selects the youngest cells right after a border crossing
-    (caught by a TPU parity probe at (240, 640), d = 470)."""
-    d = la_max + 1
+def chain_pitch(la_max: int, hb: int, wc: int) -> int:
+    """Slot pitch d for a chain: >= la_max + 1, padded up so the band
+    count stays within MAX_BANDS.  With NB = S // d + 2 (S = hb + wc - 4;
+    an interval of S+1 consecutive global-i values can straddle S // d + 1
+    slot borders -- floor alignment -- i.e. touch S // d + 2 slots, a +1
+    variant was caught mis-selecting by a TPU parity probe at (240, 640),
+    d = 470), NB <= MAX_BANDS requires S // d <= MAX_BANDS - 2, i.e.
+    d >= S // (MAX_BANDS - 1) + 1."""
     min_d = (hb + wc - 4) // (MAX_BANDS - 1) + 1
-    d = max(d, min_d)
-    nb = (hb + wc - 4) // d + 2
+    return max(la_max + 1, min_d, BK.DEF_UNB * 4)
+
+
+def plan_hetero(la_cap: int, lb_max: int, lc_max: int, npack_cap: int,
+                hb: int, wc: int, unb: int = BK.DEF_UNB) -> Tuple:
+    """14-tuple CLASS dims for hetero chains: plan_dims geometry +
+    (0, npack_cap, MAX_BANDS).
+
+    The slot pitch d and slot count npack are RUNTIME scalars (SMEM), so
+    one compiled kernel serves every chain of a geometry class; la_cap and
+    npack_cap only size the static buffers (askew rows, face slabs, B/C
+    tables).  The per-step band count is statically MAX_BANDS --
+    chain_pitch() pads small-la chains' d up so that always suffices, and
+    selects for not-yet-active bands never fire."""
+    d_cap = chain_pitch(la_cap, hb, wc)
     tb, tc = hb - 1, wc - 1
-    lab = BK._round_up(max(npack * d, 16), 16)
+    lab = BK._round_up(max(npack_cap * d_cap, 16), 16)
     n_jb = max(1, -(-lb_max // tb))
     n_kb = max(1, -(-lc_max // tc))
     qqb = BK._round_up(lab + tb + tc, unb)
@@ -67,7 +72,7 @@ def plan_hetero(la_max: int, lb_max: int, lc_max: int, npack: int,
     sr1 = qqb + 2 * unb + 2
     sr2 = qqb + 2 * unb + 2
     return (hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb,
-            d, npack, nb)
+            0, npack_cap, MAX_BANDS)
 
 
 def choose_chain_shape(la_max: int, lb_max: int, lc_max: int,
@@ -104,23 +109,25 @@ def choose_chain_shape(la_max: int, lb_max: int, lc_max: int,
     return (best[1], best[2], best[3])
 
 
-def prep_hetero(triplets, dims):
-    """Host arrays for a hetero chain dispatch.
+def prep_hetero(triplets, dims, d):
+    """Host arrays for a hetero chain dispatch at runtime pitch ``d``.
 
     Returns (a_ext, b_all, c_all, qcap, cells) where b_all/c_all are
-    (P, jdim/kdim) compact symbol rows (slot planes are built on device),
-    qcap is the per-block capture-step table, and cells[p] =
-    (block, jl*, kl*) locates slot p's score in the capture planes."""
+    (npack_cap, jdim/kdim) compact symbol rows (slot planes are built on
+    device; rows past the real slot count are sentinel padding), qcap is
+    the per-block capture-step table, and cells[p] = (block, jl*, kl*)
+    locates slot p's score in the capture planes."""
     hb, wc = dims[0], dims[1]
     lab, n_jb, n_kb = dims[2], dims[3], dims[4]
     kdim, jdim = dims[6], dims[7]
-    d, npack = dims[11], dims[12]
+    npack_cap = dims[12]
     tb, tc = hb - 1, wc - 1
-    assert len(triplets) == npack
+    npack = len(triplets)
+    assert npack <= npack_cap and npack * d <= lab
 
     a_ext = np.full(lab + 2, PAD_SYMBOL, dtype=np.int32)
-    b_all = np.full((npack, jdim + hb + 8), PAD_SYMBOL - 1, dtype=np.int32)
-    c_all = np.full((npack, kdim + wc + 8), PAD_SYMBOL - 2, dtype=np.int32)
+    b_all = np.full((npack_cap, jdim + hb + 8), PAD_SYMBOL - 1, dtype=np.int32)
+    c_all = np.full((npack_cap, kdim + wc + 8), PAD_SYMBOL - 2, dtype=np.int32)
     qcap = np.full((n_jb * n_kb, hb, wc), -7, dtype=np.int32)
     cells = []
     seen = set()
@@ -144,11 +151,14 @@ def prep_hetero(triplets, dims):
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "scoring", "interpret"))
-def _hetero_core(a_ext, b_all, c_all, qcap, dims, scoring, interpret):
+def _hetero_core(a_ext, b_all, c_all, qcap, d, npack, dims, scoring, interpret):
     """Device core: build slot-plane tables + askew, run the fused grid
-    (or the per-call scan in interpret mode), return capture planes."""
+    (or the per-call scan in interpret mode), return capture planes.
+
+    ``d`` and ``npack`` are runtime scalars: one compile per geometry
+    class, shared by every chain of the class."""
     hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims[:11]
-    d, npack, nb = dims[11], dims[12], dims[13]
+    npack_cap = dims[12]
     tb, tc = hb - 1, wc - 1
 
     askew = BK._build_askew_blocked(a_ext, qqb, hb, wc, unb)
@@ -158,12 +168,15 @@ def _hetero_core(a_ext, b_all, c_all, qcap, dims, scoring, interpret):
     bwin = b_all[:, j0s[:, None] + jnp.arange(hb, dtype=jnp.int32)[None, :]]
     cwin = c_all[:, k0s[:, None] + jnp.arange(wc, dtype=jnp.int32)[None, :]]
     bpt = jnp.broadcast_to(
-        jnp.swapaxes(bwin, 0, 1)[:, :, :, None], (n_jb, npack, hb, wc)
+        jnp.swapaxes(bwin, 0, 1)[:, :, :, None], (n_jb, npack_cap, hb, wc)
     )
     cpt = jnp.broadcast_to(
-        jnp.swapaxes(cwin, 0, 1)[:, :, None, :], (n_kb, npack, hb, wc)
+        jnp.swapaxes(cwin, 0, 1)[:, :, None, :], (n_kb, npack_cap, hb, wc)
     )
     zeros = jnp.zeros((hb, wc), jnp.int32)
+    jgrid = jnp.arange(hb, dtype=jnp.int32)[:, None]
+    kgrid = jnp.arange(wc, dtype=jnp.int32)[None, :]
+    jkmod = jnp.remainder(jgrid + kgrid, d)[None].astype(jnp.int32)
     srf0 = jnp.zeros((n_kb, 8 * sr1, wc), jnp.int32)
     cf0 = jnp.zeros((n_jb, 8 * sr2, BK._round_up(hb, 128)), jnp.int32)
 
@@ -171,15 +184,16 @@ def _hetero_core(a_ext, b_all, c_all, qcap, dims, scoring, interpret):
     idx = jnp.arange(n_blocks, dtype=jnp.int32)
     jbs, kbs = idx // n_kb, idx % n_kb
     scal_tab = jnp.stack(
-        [jnp.zeros_like(idx), jbs * tb, kbs * tc, jbs, kbs,
-         jnp.full_like(idx, -1), jnp.full_like(idx, -1),
+        [jnp.full_like(idx, d), jbs * tb, kbs * tc, jbs, kbs,
+         jnp.full_like(idx, npack), jnp.full_like(idx, -1),
          jnp.full_like(idx, -1)],
         axis=1,
     ).astype(jnp.int32)[:, None, :]
 
     if not interpret:
         call = BK.make_hetero_grid_call(dims, scoring, interpret)
-        _, _, caps = call(scal_tab, askew, qcap, zeros, srf0, cf0, bpt, cpt)
+        _, _, caps = call(scal_tab, askew, qcap, jkmod, zeros, srf0, cf0,
+                          bpt, cpt)
         return caps
 
     # Interpret fallback: per-block calls scanned (grid io-aliasing is not
@@ -192,11 +206,12 @@ def _hetero_core(a_ext, b_all, c_all, qcap, dims, scoring, interpret):
         jb = i // n_kb
         kb = i % n_kb
         scal = jnp.stack(
-            [jnp.int32(0), jb * tb, kb * tc, jb, kb,
-             jnp.int32(-1), jnp.int32(-1), jnp.int32(-1)]
-        )
+            [jnp.int32(d), jb * tb, kb * tc, jb, kb,
+             jnp.int32(npack), jnp.int32(-1), jnp.int32(-1)]
+        ).astype(jnp.int32)
         qcap_i = jax.lax.dynamic_slice(qcap, (i, 0, 0), (1, hb, wc))
-        srf, cf, cap = call(scal, askew, qcap_i, zeros, srf, cf, bpt, cpt)
+        srf, cf, cap = call(scal, askew, qcap_i, jkmod, zeros, srf, cf,
+                            bpt, cpt)
         caps = jax.lax.dynamic_update_slice(caps, cap, (i, 0, 0))
         return (srf, cf, caps), None
 
@@ -230,10 +245,12 @@ def align_chain(
     if block_shape is None:
         block_shape = choose_chain_shape(la_max, lb_max, lc_max, npack)
     dims = plan_hetero(la_max, lb_max, lc_max, npack, *block_shape)
-    a_ext, b_all, c_all, qcap, cells = prep_hetero(triplets, dims)
+    d = chain_pitch(la_max, dims[0], dims[1])
+    a_ext, b_all, c_all, qcap, cells = prep_hetero(triplets, dims, d)
     caps = _hetero_core(
         jnp.asarray(a_ext), jnp.asarray(b_all), jnp.asarray(c_all),
-        jnp.asarray(qcap), dims, scoring, interpret,
+        jnp.asarray(qcap), jnp.int32(d), jnp.int32(npack),
+        dims, scoring, interpret,
     )
     blks = jnp.asarray([c[0] for c in cells])
     jls = jnp.asarray([c[1] for c in cells])
@@ -304,23 +321,21 @@ def align_batch_chained(
         chains = pack_chains(items, max_p=max_p)
         lb_max = max(len(t[1]) for _, t in items)
         lc_max = max(len(t[2]) for _, t in items)
+        la_cap = max(len(t[0]) for _, t in items)
+        # ONE compile per class: static dims sized for the class ceiling
+        # (la_cap, max_p); each chain passes its runtime (d, npack).
+        shape = choose_chain_shape(la_cap, lb_max, lc_max, max_p)
+        dims = plan_hetero(la_cap, lb_max, lc_max, max_p, *shape)
         for chain in chains:
             la_max = max(len(t[0]) for _, t in chain)
-            # Pad the chain length to the ladder so compiles are shared
-            # across chains of a class (the pad slots are cheap: they
-            # reuse slot 0's A-length... no -- P itself is static, so
-            # shorter tails simply compile once per (geometry, P) rung).
-            p_eff = next(p for p in P_LADDER if p >= len(chain)) \
-                if len(chain) <= P_LADDER[-1] else len(chain)
-            del p_eff  # tails keep their exact P; ladder reserved for v2
-            shape = choose_chain_shape(la_max, lb_max, lc_max, len(chain))
-            dims = plan_hetero(la_max, lb_max, lc_max, len(chain), *shape)
+            d = chain_pitch(la_max, dims[0], dims[1])
             a_ext, b_all, c_all, qcap, cells = prep_hetero(
-                [t for _, t in chain], dims
+                [t for _, t in chain], dims, d
             )
             caps = _hetero_core(
                 jnp.asarray(a_ext), jnp.asarray(b_all), jnp.asarray(c_all),
-                jnp.asarray(qcap), dims, scoring, interpret,
+                jnp.asarray(qcap), jnp.int32(d), jnp.int32(len(chain)),
+                dims, scoring, interpret,
             )
             blks = jnp.asarray([c[0] for c in cells])
             jls = jnp.asarray([c[1] for c in cells])
