@@ -27,10 +27,12 @@ def main():
 
     from trialign.benchmarks import (
         BASELINE_ASIC_GCUPS,
-        bench_batch,
+        bench_batch_mixed,
         bench_blocked,
+        bench_blocked_chain,
         bench_single_stream,
         parity_check,
+        roofline,
     )
     from trialign.config import Scoring
 
@@ -48,22 +50,44 @@ def main():
     if on_tpu:
         blocked_gcups, bdt = bench_blocked(1024, 4, scoring)
         log(f"blocked 1k^3: {bdt*1e3:.1f} ms/alignment -> {blocked_gcups:.2f} GCUPS")
-        g512, dt512 = bench_blocked(512, 8, scoring)
-        log(f"blocked 512^3 (reference headline size): {dt512*1e3:.2f} ms -> {g512:.2f} GCUPS")
+        rf = roofline(scoring, measured_gcups=blocked_gcups)
+        log(
+            f"roofline: {rf['vpu_element_ops_per_s']/1e12:.2f} T elem-ops/s "
+            f"measured / {rf['ops_per_cell']} ops/cell -> ceiling "
+            f"{rf['roofline_gcups']} GCUPS; achieved {rf['roofline_fraction']:.0%}"
+        )
+        gc512, dt512 = bench_blocked_chain(512, 16, scoring)
+        log(
+            f"blocked 512^3 chained x16 (reference headline size, "
+            f"back-to-back): {dt512*1e3:.2f} ms/alignment -> {gc512:.2f} GCUPS "
+            f"(ASIC: 10.82 ms)"
+        )
+        g512s, dt512s = bench_blocked(512, 8, scoring)
+        log(f"blocked 512^3 single-stream: {dt512s*1e3:.2f} ms -> {g512s:.2f} GCUPS")
         g2k, dt2k = bench_blocked(2048, 2, scoring)
         log(f"blocked 2048^3: {dt2k*1e3:.1f} ms -> {g2k:.2f} GCUPS")
         single_gcups, sdt = bench_single_stream(255, 16, scoring)
         log(f"single-stream 255^3: {sdt*1e3:.2f} ms -> {single_gcups:.2f} GCUPS")
-        batch_gcups, tdt = bench_batch(255, 16, scoring)
-        log(f"batch 16x255^3 end-to-end: {tdt*1e3:.1f} ms -> {batch_gcups:.2f} GCUPS")
+        log("mixed 1024-triplet batch (BASELINE config 3; compiles ~1/class)...")
+        bm_gcups, bm_s, bm_tps = bench_batch_mixed(1024, scoring)
+        log(
+            f"batch 1024 triplets len 128-512 end-to-end: {bm_s:.2f} s -> "
+            f"{bm_gcups:.2f} GCUPS aggregate, {bm_tps:.0f} triplets/s "
+            f"(parity spot-checked)"
+        )
         value = blocked_gcups
         metric = "single-chip DP cell-updates/s at 1024^3 (7-matrix cells, blocked Pallas sweep)"
         extra = {
-            "blocked_512_gcups": round(g512, 3),
             "blocked_512_ms": round(dt512 * 1e3, 2),
+            "blocked_512_gcups": round(gc512, 3),
+            "blocked_512_single_ms": round(dt512s * 1e3, 2),
             "blocked_2048_gcups": round(g2k, 3),
             "single_stream_255_gcups": round(single_gcups, 3),
-            "batch_end_to_end_gcups": round(batch_gcups, 3),
+            "batch_mixed_1024_gcups": round(bm_gcups, 3),
+            "batch_mixed_1024_triplets_per_s": round(bm_tps, 1),
+            "roofline_gcups": rf["roofline_gcups"],
+            "roofline_fraction": rf["roofline_fraction"],
+            "ops_per_cell": rf["ops_per_cell"],
             "reference_asic_512_ms": 10.82,
             "reference_software_512_gcups": 0.058,
         }

@@ -185,3 +185,32 @@ def test_xla_engine_multi_segment(rng, monkeypatch):
     g_np = backward_slab(a[m:], b, c, sc)
     g_x = X.backward_slab_xla(a[m:], b, c, sc)
     assert np.array_equal(g_np, g_x)
+
+
+def test_direct_engine_all_modes_via_recursion(rng, monkeypatch):
+    """Exercise the direct choice-capture engine (traceback/direct.py) in
+    every submode (free top, free_jk restart, pin halves) by shrinking the
+    thresholds so the recursion bottoms out in it."""
+    monkeypatch.setattr(H, "BASE_CELLS", 400)
+    monkeypatch.setattr(H, "DIRECT_CELLS", 6000)
+    for trial in range(4):
+        la, lb, lc = (int(x) for x in rng.integers(8, 30, 3))
+        a, b, c = random_triplet(rng, la, lb, lc)
+        want = align_planes_numpy(a, b, c)
+        score, rows = H.hirschberg_align(a, b, c)
+        assert score == want, trial
+        assert rescore_alignment(rows, Scoring()) == want, trial
+        for row, seq in zip(rows, (a, b, c)):
+            assert [v for v in row if v != -1] == list(map(int, seq)), trial
+
+
+def test_direct_engine_standalone(rng):
+    from trialign.traceback.direct import direct_traceback
+
+    sc = Scoring(match=2, mismatch=-3, gap_open=4, gap_extend=1)
+    a, b, c = random_triplet(rng, 25, 30, 35)
+    want = align_planes_numpy(a, b, c, sc)
+    score, cols = direct_traceback(a, b, c, sc)
+    rows = [list(r) for r in zip(*cols)]
+    assert score == want
+    assert rescore_alignment(rows, sc) == want

@@ -121,6 +121,68 @@ def bench_batch(n, batch, scoring: Scoring = Scoring()):
     return batch * n**3 / best / 1e9, best
 
 
+def bench_blocked_chain(n, npack, scoring: Scoring = Scoring(),
+                        block_shape=(264, 640, 8)):
+    """Per-alignment time at n^3 via an A-axis chain of ``npack`` distinct
+    alignments fused into ONE sweep (shared B/C across the chain, distinct
+    A per slot -- the same inputs-vary rule the chained-jit bench uses).
+    This is the back-to-back throughput the reference's host FSM could not
+    reach (one triplet at a time, src/TriAlign_tb.sv:313-333)."""
+    import jax
+    import jax.numpy as jnp
+
+    from trialign.kernels import blocked as BK
+
+    rng = np.random.default_rng(3)
+    b = rng.integers(0, 4, size=n).astype(np.uint8)
+    c = rng.integers(0, 4, size=n).astype(np.uint8)
+    a_list = [rng.integers(0, 4, size=n).astype(np.uint8) for _ in range(npack)]
+    dims = BK.plan_dims_packed(n, n, n, npack, *block_shape)
+    lens, a_ext, b_arr, c_arr = BK.prep_chain(a_list, b, c, dims)
+    args = tuple(jnp.asarray(x) for x in (lens, a_ext, b_arr, c_arr))
+
+    def f(*args):
+        return BK._blocked_core(*args, dims, scoring, False)
+
+    dt = time_chained(f, args, npack)
+    return n**3 / dt / 1e9, dt
+
+
+def bench_batch_mixed(n_triplets, scoring: Scoring = Scoring(),
+                      lo: int = 128, hi: int = 512, parity_samples: int = 4):
+    """BASELINE config 3: ``n_triplets`` independent triplets with lengths
+    uniform in [lo, hi], scored end-to-end (host prep + packing + chained
+    dispatches + transfers) through the hetero-chain pipeline.
+
+    Returns (aggregate GCUPS, seconds, triplets/s).  Spot-checks
+    ``parity_samples`` random scores against the NumPy oracle."""
+    from trialign.golden import align_planes_numpy
+    from trialign.kernels.chain import align_batch_chained
+
+    rng = np.random.default_rng(77)
+    trips = [
+        tuple(
+            rng.integers(0, 4, int(rng.integers(lo, hi + 1))).astype(np.uint8)
+            for _ in range(3)
+        )
+        for _ in range(n_triplets)
+    ]
+    cells = sum(len(a) * len(b) * len(c) for a, b, c in trips)
+    scores = align_batch_chained(trips)  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        scores = align_batch_chained(trips)  # host ints: fully synced
+        best = min(best, time.perf_counter() - t0)
+    for i in rng.choice(n_triplets, size=parity_samples, replace=False):
+        want = align_planes_numpy(*trips[i])
+        if scores[i] != want:
+            raise AssertionError(
+                f"mixed-batch parity FAILED at {i}: {scores[i]} != {want}"
+            )
+    return cells / best / 1e9, best, n_triplets / best
+
+
 def measure_vpu_rate(iters: int = 4000, ops_per_iter: int = 16):
     """Measured sustained int32 elementwise rate (element-ops/s) via a
     Pallas micro-kernel: a fori loop of dependent max/add chains on a

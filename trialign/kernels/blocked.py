@@ -70,10 +70,10 @@ def _vmem_limit_for(dims):
     est = ((16 + 2 * unb) * hb * wc + 2 * (hb + unb) * wc
            + 2 * 8 * unb * (2 * wc + 2 * hbp + hb)) * 4
     if len(dims) > 13:
-        # hetero mode: B/C plane rings + qcap input + capture carry (and
-        # its Mosaic stack temporaries).
+        # hetero mode: B/C plane rings + qcap/jkmod inputs + the 17-plane
+        # sweep-state scratch (and its Mosaic stack temporaries).
         nbr = dims[13] + 3
-        est += (2 * nbr + 4) * hb * wc * 4
+        est += (2 * nbr + 17 + 6) * hb * wc * 4
     if est <= VMEM_DEFAULT_CAP - 2 * 2**20:
         return None
     return est + est // 2 + 4 * 2**20
@@ -243,7 +243,7 @@ def _block_sweep(
         # geometry class); jkmod = jk mod d_rt arrives as an input plane
         # (vector rem by a runtime scalar is not a Mosaic-friendly op).
         (bpt, cpt, qcap_ref, jkmod_ref, d_rt, npack_rt,
-         bp_ring, cp_ring, ring_sem) = hetero
+         bp_ring, cp_ring, ring_sem, state) = hetero
         qcap = qcap_ref[0]
         jkmod = jkmod_ref[0]
         CHD_E = d_rt
@@ -334,8 +334,12 @@ def _block_sweep(
     if hetero is not None:
         # Runtime sweep bound: the chain needs npack*d + tb + tc planes
         # (last capture one step after the last final cell); macros beyond
-        # that are dead work.  The prefetch guard below MUST use the same
-        # bound or the final macro would start DMAs nobody waits for.
+        # that are dead work.  The fori bound itself stays STATIC -- a
+        # traced bound turns the loop into a while and blows Mosaic's
+        # compile time ~5x (measured 402s vs 92s at (328,512)) -- so the
+        # macro body instead SKIPS itself past nmac_rt via lax.cond.
+        # The prefetch guard below MUST use the same bound or the final
+        # macro would start DMAs nobody waits for.
         nmac_rt = jnp.minimum(
             jax.lax.div(npack_rt * d_rt + tb + tc + UNB - 1, jnp.int32(UNB)),
             nmac,
@@ -525,10 +529,30 @@ def _block_sweep(
 
     zeros7 = (zero,) * NUM_MATRICES
     if hetero is not None:
-        final = jax.lax.fori_loop(
-            0, nmac_rt, macro, (zeros7, zeros7, zero, zero, zero)
-        )
-        out_ref[0] = final[4]
+        # Sweep state lives in scratch so the whole macro body can be a
+        # runtime-skipped pl.when block (see nmac_rt note above).
+        for idx in range(17):
+            state[idx] = zero
+
+        def hmacro(it, _):
+            @pl.when(it < nmac_rt)
+            def _():
+                p1 = tuple(state[i] for i in range(7))
+                p2 = tuple(state[7 + i] for i in range(7))
+                np1, np2, nm7p2, nm7p3, ncap = macro(
+                    it, (p1, p2, state[14], state[15], state[16])
+                )
+                for i in range(7):
+                    state[i] = np1[i]
+                    state[7 + i] = np2[i]
+                state[14] = nm7p2
+                state[15] = nm7p3
+                state[16] = ncap
+
+            return 0
+
+        jax.lax.fori_loop(0, nmac, hmacro, 0)
+        out_ref[0] = state[16]
     else:
         jax.lax.fori_loop(0, nmac, macro, (zeros7, zeros7, zero, zero))
 
@@ -694,6 +718,11 @@ def _hetero_scratch_shapes(hb, wc, unb, nbr):
         pltpu.VMEM((nbr, hb, wc), jnp.int32),  # bp_ring
         pltpu.VMEM((nbr, hb, wc), jnp.int32),  # cp_ring
         pltpu.SemaphoreType.DMA((2, nbr)),  # ring_sem
+        # Sweep state (7 p1 + 7 p2 + m7p2 + m7p3 + cap): scratch, not loop
+        # carries, so the macro body can runtime-skip itself wholesale via
+        # pl.when -- value carries would force lax.cond (3x compile) or a
+        # dynamic loop bound (5x compile).
+        pltpu.VMEM((17, hb, wc), jnp.int32),  # state
     ]
 
 
@@ -714,7 +743,7 @@ def make_hetero_grid_call(dims: Tuple, scoring: Scoring, interpret: bool):
         npack_rt = scal_ref[0, 0, 5]
         base, ring = scratch[:9], scratch[9:]
         hetero = (bpt, cpt, qcap_ref, jkmod_ref, d_rt, npack_rt,
-                  ring[0], ring[1], ring[2])
+                  ring[0], ring[1], ring[2], ring[3])
         _block_sweep(
             dims, scoring, scalars, askew_ref, zeros_ref[:], zeros_ref[:],
             zeros_ref[:], srf_in, cf_in, srf_out, cf_out, out_ref,
@@ -771,7 +800,7 @@ def make_hetero_block_call(dims: Tuple, scoring: Scoring, interpret: bool):
         npack_rt = scal_ref[5]
         base, ring = scratch[:9], scratch[9:]
         hetero = (bpt, cpt, qcap_ref, jkmod_ref, d_rt, npack_rt,
-                  ring[0], ring[1], ring[2])
+                  ring[0], ring[1], ring[2], ring[3])
         _block_sweep(
             dims, scoring, scalars, askew_ref, zeros_ref[:], zeros_ref[:],
             zeros_ref[:], srf_in, cf_in, srf_out, cf_out, out_ref,

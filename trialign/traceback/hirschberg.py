@@ -31,6 +31,13 @@ BASE_CELLS = 1 << 20
 # v5e (dispatch ~5-30 ms vs ~100 ms of NumPy per 2M cells).
 XLA_CELLS = 1 << 21
 
+# Between BASE_CELLS and this cap, subproblems go to the device-resident
+# direct engine (traceback/direct.py): one choice-capture sweep + one
+# on-device walk, instead of recursing -- the recursion's many small
+# dispatches are round-trip-bound on the remote-TPU environment.  A 512^3
+# problem is a single direct call.
+DIRECT_CELLS = 192 * 2**20
+
 Column = Tuple[int, int, int]
 
 
@@ -155,6 +162,17 @@ def _solve(
             a, b, c, scoring, mode=mode, v0=v0, return_cuboid=True
         )
         return _walk(cuboid, a, b, c, scoring, mode, end_state)
+
+    if cells <= DIRECT_CELLS:
+        # Device-resident direct engine: choice-capture sweep + on-device
+        # walk, two dispatches total (no recursion below this point).
+        from trialign.traceback.direct import direct_traceback
+
+        v0 = None
+        if mode == "pin":
+            v0 = np.full(NUM_MATRICES, NEG, dtype=np.int32)
+            v0[s0] = 0
+        return direct_traceback(a, b, c, scoring, mode, v0, end_state)
 
     m = la // 2
     v0 = None
