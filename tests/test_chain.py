@@ -41,7 +41,8 @@ def test_hetero_chain_band_crossing_regression(rng):
     trips = [_rt(rng, 73, 20, 120), _rt(rng, 70, 18, 119),
              _rt(rng, 73, 22, 121), _rt(rng, 71, 19, 118),
              _rt(rng, 72, 21, 117)]
-    assert plan_hetero(73, 22, 121, 5, 24, 128, 8)[13] == 4  # S//d + 2
+    # static band count must cover S//d + 2 = 4 for d = 74, S = 148
+    assert plan_hetero(73, 22, 121, 5, 24, 128, 8)[13] >= 4
     got = align_chain(trips, block_shape=(24, 128, 8))
     assert got == [align_planes_numpy(*t) for t in trips]
 

@@ -1,0 +1,92 @@
+"""Mosaic 2D-tiling batch tests (kernels/mosaic.py) on a shrunken canvas
+so CPU interpret mode stays fast; the tiling/band machinery is identical
+to the production (520, 640) canvas."""
+
+import numpy as np
+import pytest
+
+from trialign.golden import align_planes_numpy
+from tests.conftest import random_triplet
+
+
+@pytest.fixture
+def small_canvas(monkeypatch):
+    import trialign.kernels.mosaic as M
+
+    monkeypatch.setattr(M, "HB", 48)
+    monkeypatch.setattr(M, "WC", 128)
+    monkeypatch.setattr(M, "BANDS", (24, 24))
+    monkeypatch.setattr(M, "_BOFF", (0, 24))
+    runs = []
+    for b0 in range(2):
+        for b1 in range(b0, 2):
+            runs.append((b0, b1, (0, 24)[b0], 24 * (b1 - b0 + 1)))
+    monkeypatch.setattr(M, "_RUNS", runs)
+    monkeypatch.setattr(M, "P_CAP", 4)
+    monkeypatch.setattr(M, "NT_MAX", 6)
+    return M
+
+
+def _rt(rng, la, lb, lc):
+    return tuple(rng.integers(0, 4, s).astype(np.uint8) for s in (la, lb, lc))
+
+
+def test_mosaic_mixed_batch(rng, small_canvas):
+    M = small_canvas
+    trips = [
+        _rt(rng, 12, 10, 14), _rt(rng, 9, 12, 11), _rt(rng, 15, 8, 16),
+        _rt(rng, 11, 12, 9), _rt(rng, 10, 10, 14), _rt(rng, 12, 10, 14),
+        (np.zeros(0, np.uint8), np.zeros(3, np.uint8), np.zeros(3, np.uint8)),
+        _rt(rng, 20, 6, 9), _rt(rng, 7, 18, 12), _rt(rng, 22, 20, 30),
+    ]
+    got = M.align_batch_mosaic(trips)
+    want = [
+        align_planes_numpy(*t) if min(map(len, t)) else 0 for t in trips
+    ]
+    assert got == want
+
+
+def test_mosaic_vertical_stacking(rng, small_canvas):
+    """Tiles stacked in different askew bands of the same lane range must
+    carry independent A chains (the multi-band window path)."""
+    M = small_canvas
+    # many small-lb problems -> packer stacks tiles across both bands
+    trips = [_rt(rng, 10 + i, 14, 20 + i) for i in range(8)]
+    got = M.align_batch_mosaic(trips)
+    assert got == [align_planes_numpy(*t) for t in trips]
+
+
+def test_mosaic_rotation_rtl_mode(rng, small_canvas):
+    """rtl-mode s3 is only A<->C symmetric; the rotation must respect it."""
+    from trialign.config import Scoring
+
+    M = small_canvas
+    sc = Scoring(s3_mode="rtl")
+    trips = [_rt(rng, 8, 15, 20), _rt(rng, 25, 12, 9), _rt(rng, 10, 10, 10)]
+    got = M.align_batch_mosaic(trips, sc)
+    assert got == [align_planes_numpy(*t, sc) for t in trips]
+
+
+def test_mosaic_oversize_falls_back(rng, small_canvas):
+    """Problems beyond the canvas route through the blocked path."""
+    M = small_canvas
+    trips = [_rt(rng, 8, 60, 200), _rt(rng, 10, 12, 14)]
+    got = M.align_batch_mosaic(trips)
+    assert got == [align_planes_numpy(*t) for t in trips]
+
+
+def test_mosaic_packer_geometry(rng, small_canvas):
+    M = small_canvas
+    items = [(i, _rt(rng, 10, 14, 20)) for i in range(10)]
+    disps = M.pack_mosaic(items)
+    for disp in disps:
+        assert len(disp) <= M.NT_MAX
+        for t in disp:
+            assert t.j0 + t.th <= M.HB and t.k0 + t.tw <= M.WC
+            assert len(t.problems) <= M.P_CAP
+            # band-wise column exclusivity
+            for u in disp:
+                if u is t or u.b1 < t.b0 or u.b0 > t.b1:
+                    continue
+                assert u.k0 + u.tw <= t.k0 or t.k0 + t.tw <= u.k0
+    assert sum(len(t.problems) for d_ in disps for t in d_) == 10

@@ -213,6 +213,12 @@ def _block_sweep(
     CHD, NPACK = (dims[11], dims[12]) if len(dims) > 11 else (0, 1)
     NB = dims[13] if len(dims) > 13 else 0  # hetero band count
     NBR = NB + 3  # ring slots: NB active + in-flight DMA + retire margin
+    # Askew j-bands (2D tile packing): rows [off_b, off_b + BANDS[b]) read
+    # their symbols from their own Hankel array, so vertically stacked
+    # tiles can carry DIFFERENT A chains.  Default: one band = whole plane.
+    BANDS = dims[14] if len(dims) > 14 else (hb,)
+    NJB_B = len(BANDS)
+    BOFF = tuple(int(np.sum(BANDS[:i])) for i in range(NJB_B))
     # Face traffic exists only where a neighbor block will read it: with a
     # single block row (column), the row (column) faces carry nothing but
     # the zero border, so their DMAs, staging stores, and halo installs
@@ -234,18 +240,21 @@ def _block_sweep(
     jl = jax.lax.broadcasted_iota(jnp.int32, (hb, wc), 0)
     kl = jax.lax.broadcasted_iota(jnp.int32, (hb, wc), 1)
     jk = jl + kl
-    edge = (jl >= 1) & (kl >= 1)
     if hetero is None:
+        edge = (jl >= 1) & (kl >= 1)
         s_bc = jnp.where(bp == cp, match, mismatch)
     else:
         # Runtime chain parameters: the slot pitch d_rt and slot count
         # npack_rt are SMEM scalars (one compiled kernel serves a whole
         # geometry class); jkmod = jk mod d_rt arrives as an input plane
         # (vector rem by a runtime scalar is not a Mosaic-friendly op).
-        (bpt, cpt, qcap_ref, jkmod_ref, d_rt, npack_rt,
+        (bpt, cpt, qcap_ref, jkmod_ref, edge_ref, d_rt, npack_rt,
          bp_ring, cp_ring, ring_sem, state) = hetero
         qcap = qcap_ref[0]
         jkmod = jkmod_ref[0]
+        # Tile-border mask as runtime CONTENT (int32 0/1): 2D tile
+        # layouts (j/k tile borders are zero faces) without recompiling.
+        edge = edge_ref[0] != 0
         CHD_E = d_rt
         NPACK_E = npack_rt
     cellmask = (jl == jlstar) & (kl == klstar)
@@ -289,9 +298,26 @@ def _block_sweep(
         # Symbol window for macro it: rows [qqb - UNB*(it+1), +hb+UNB).
         # The askew array lives in HBM so |A| is bounded by HBM, not VMEM.
         base = pl.multiple_of(qqb - UNB * it - UNB, 8)
-        return pltpu.make_async_copy(
-            askew_ref.at[pl.ds(base, hb + UNB)], ak_buf.at[slot], ak_sem.at[slot]
-        )
+        if hetero is None or NJB_B == 1:
+            src = askew_ref if hetero is None else askew_ref.at[0]
+            sem = ak_sem.at[slot] if hetero is None else ak_sem.at[slot, 0]
+            return [
+                pltpu.make_async_copy(
+                    src.at[pl.ds(base, hb + UNB)], ak_buf.at[slot], sem
+                )
+            ]
+        # One DMA per j-band into its own row range of the window buffer:
+        # band b's rows live at window rows [BOFF[b], BOFF[b]+bh+UNB)...
+        # overlapping guard rows are per-band, so the buffer holds bands
+        # stacked at BOFF[b] + b*UNB.
+        return [
+            pltpu.make_async_copy(
+                askew_ref.at[b, pl.ds(base + BOFF[b], BANDS[b] + UNB)],
+                ak_buf.at[slot, pl.ds(BOFF[b] + b * UNB, BANDS[b] + UNB)],
+                ak_sem.at[slot, b],
+            )
+            for b in range(NJB_B)
+        ]
 
     if hetero is not None:
         def ring_dma(s):
@@ -311,7 +337,8 @@ def _block_sweep(
         rd_row_dma(0, 0).start()
     if NEED_COL:
         rd_col_dma(0, 0).start()
-    ak_dma(0, 0).start()
+    for d_ in ak_dma(0, 0):
+        d_.start()
     if hetero is not None:
         # Start slots 0 and 1 (slot s loads one pitch ahead of first use);
         # wait slot 0 here -- slot 1's wait happens at the q = d swap,
@@ -390,7 +417,8 @@ def _block_sweep(
             rd_row_dma(it, slot).wait()
         if NEED_COL:
             rd_col_dma(it, slot).wait()
-        ak_dma(it, slot).wait()
+        for d_ in ak_dma(it, slot):
+            d_.wait()
 
         @pl.when(it + 1 < nmac_rt)
         def _():
@@ -399,7 +427,8 @@ def _block_sweep(
                 rd_row_dma(it + 1, nslot).start()
             if NEED_COL:
                 rd_col_dma(it + 1, nslot).start()
-            ak_dma(it + 1, nslot).start()
+            for d_ in ak_dma(it + 1, nslot):
+                d_.start()
 
         rowbuf = rb_r[slot] if NEED_ROW else None  # (frows, wc): rows 8u+t
         # Column face arrives matrix-major (frows, hb); one transpose per
@@ -411,7 +440,20 @@ def _block_sweep(
 
         for u in range(UNB):
             q = UNB * it + u + 1
-            ap = win[UNB - 1 - u : UNB - 1 - u + hb, :]
+            if NJB_B == 1:
+                ap = win[UNB - 1 - u : UNB - 1 - u + hb, :]
+            else:
+                ap = jnp.concatenate(
+                    [
+                        win[
+                            BOFF[b] + b * UNB + UNB - 1 - u :
+                            BOFF[b] + b * UNB + UNB - 1 - u + BANDS[b],
+                            :,
+                        ]
+                        for b in range(NJB_B)
+                    ],
+                    axis=0,
+                )
             if hetero is not None:
                 # Band-select the symbol planes: cell slot
                 # m = (q - jk - 1) div CHD spans bands m0..m0+NB-1; band
@@ -711,10 +753,14 @@ def make_grid_call(dims: Tuple, scoring: Scoring, interpret: bool):
     )
 
 
-def _hetero_scratch_shapes(hb, wc, unb, nbr):
+def _hetero_scratch_shapes(hb, wc, unb, nbr, njb_bands=1):
     from jax.experimental.pallas import tpu as pltpu
 
-    return _scratch_shapes(hb, wc, unb) + [
+    base = _scratch_shapes(hb, wc, unb)
+    # Multi-band symbol windows: one row range + DMA semaphore per band.
+    base[5] = pltpu.VMEM((2, hb + njb_bands * unb, wc), jnp.int32)
+    base[8] = pltpu.SemaphoreType.DMA((2, njb_bands))
+    return base + [
         pltpu.VMEM((nbr, hb, wc), jnp.int32),  # bp_ring
         pltpu.VMEM((nbr, hb, wc), jnp.int32),  # cp_ring
         pltpu.SemaphoreType.DMA((2, nbr)),  # ring_sem
@@ -734,15 +780,17 @@ def make_hetero_grid_call(dims: Tuple, scoring: Scoring, interpret: bool):
 
     hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims[:11]
     nbr = dims[13] + 3
+    njb_bands = len(dims[14]) if len(dims) > 14 else 1
     n_blocks = n_jb * n_kb
 
-    def kernel(scal_ref, askew_ref, qcap_ref, jkmod_ref, zeros_ref, srf_in,
-               cf_in, bpt, cpt, srf_out, cf_out, out_ref, *scratch):
+    def kernel(scal_ref, askew_ref, qcap_ref, jkmod_ref, edge_ref,
+               zeros_ref, srf_in, cf_in, bpt, cpt, srf_out, cf_out,
+               out_ref, *scratch):
         scalars = tuple(scal_ref[0, 0, i] for i in (3, 4, 5, 6, 7))
         d_rt = scal_ref[0, 0, 0]
         npack_rt = scal_ref[0, 0, 5]
         base, ring = scratch[:9], scratch[9:]
-        hetero = (bpt, cpt, qcap_ref, jkmod_ref, d_rt, npack_rt,
+        hetero = (bpt, cpt, qcap_ref, jkmod_ref, edge_ref, d_rt, npack_rt,
                   ring[0], ring[1], ring[2], ring[3])
         _block_sweep(
             dims, scoring, scalars, askew_ref, zeros_ref[:], zeros_ref[:],
@@ -758,6 +806,7 @@ def make_hetero_grid_call(dims: Tuple, scoring: Scoring, interpret: bool):
             pl.BlockSpec(memory_space=pltpu.HBM),  # askew
             pl.BlockSpec((1, hb, wc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),  # qcap
             pl.BlockSpec((1, hb, wc), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),  # jkmod
+            pl.BlockSpec((1, hb, wc), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),  # edge
             pl.BlockSpec((hb, wc), lambda i: (0, 0), memory_space=pltpu.VMEM),  # zeros
             pl.BlockSpec(memory_space=pltpu.HBM),  # srf
             pl.BlockSpec(memory_space=pltpu.HBM),  # cf
@@ -774,9 +823,9 @@ def make_hetero_grid_call(dims: Tuple, scoring: Scoring, interpret: bool):
             jax.ShapeDtypeStruct((n_jb, 8 * sr2, _round_up(hb, 128)), jnp.int32),
             jax.ShapeDtypeStruct((n_blocks, hb, wc), jnp.int32),
         ),
-        input_output_aliases={5: 0, 6: 1},
+        input_output_aliases={6: 0, 7: 1},
         interpret=interpret,
-        scratch_shapes=_hetero_scratch_shapes(hb, wc, unb, nbr),
+        scratch_shapes=_hetero_scratch_shapes(hb, wc, unb, nbr, njb_bands),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=_vmem_limit_for(dims),
@@ -792,14 +841,16 @@ def make_hetero_block_call(dims: Tuple, scoring: Scoring, interpret: bool):
 
     hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims[:11]
     nbr = dims[13] + 3
+    njb_bands = len(dims[14]) if len(dims) > 14 else 1
 
-    def kernel(scal_ref, askew_ref, qcap_ref, jkmod_ref, zeros_ref, srf_in,
-               cf_in, bpt, cpt, srf_out, cf_out, out_ref, *scratch):
+    def kernel(scal_ref, askew_ref, qcap_ref, jkmod_ref, edge_ref,
+               zeros_ref, srf_in, cf_in, bpt, cpt, srf_out, cf_out,
+               out_ref, *scratch):
         scalars = tuple(scal_ref[i] for i in (3, 4, 5, 6, 7))
         d_rt = scal_ref[0]
         npack_rt = scal_ref[5]
         base, ring = scratch[:9], scratch[9:]
-        hetero = (bpt, cpt, qcap_ref, jkmod_ref, d_rt, npack_rt,
+        hetero = (bpt, cpt, qcap_ref, jkmod_ref, edge_ref, d_rt, npack_rt,
                   ring[0], ring[1], ring[2], ring[3])
         _block_sweep(
             dims, scoring, scalars, askew_ref, zeros_ref[:], zeros_ref[:],
@@ -814,6 +865,7 @@ def make_hetero_block_call(dims: Tuple, scoring: Scoring, interpret: bool):
             pl.BlockSpec(memory_space=pltpu.HBM),  # askew
             pl.BlockSpec(memory_space=pltpu.VMEM),  # qcap (1, hb, wc)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # jkmod (1, hb, wc)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # edge (1, hb, wc)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # zeros
             pl.BlockSpec(memory_space=pltpu.HBM),  # srf
             pl.BlockSpec(memory_space=pltpu.HBM),  # cf
@@ -825,7 +877,7 @@ def make_hetero_block_call(dims: Tuple, scoring: Scoring, interpret: bool):
             pl.BlockSpec(memory_space=pltpu.HBM),  # cf (aliased)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # cap (1, hb, wc)
         ),
-        scratch_shapes=_hetero_scratch_shapes(hb, wc, unb, nbr),
+        scratch_shapes=_hetero_scratch_shapes(hb, wc, unb, nbr, njb_bands),
     )
 
     return pl.pallas_call(
@@ -836,7 +888,7 @@ def make_hetero_block_call(dims: Tuple, scoring: Scoring, interpret: bool):
             jax.ShapeDtypeStruct((n_jb, 8 * sr2, _round_up(hb, 128)), jnp.int32),
             jax.ShapeDtypeStruct((1, hb, wc), jnp.int32),
         ),
-        input_output_aliases={5: 0, 6: 1},
+        input_output_aliases={6: 0, 7: 1},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,

@@ -35,8 +35,10 @@ from trialign.config import PAD_SYMBOL, Scoring
 from trialign.kernels import blocked as BK
 
 # Cap on simultaneously-active bands (per-step select cost grows with NB);
-# the planner pads the chain pitch d up instead of exceeding it.
-MAX_BANDS = 4
+# the planner pads the chain pitch d up instead of exceeding it.  6 keeps
+# the pitch floor at (hb+wc)/5, so mosaic-canvas chains of mid-length A
+# stay tightly packed (+2 selects/step vs 4 bands, ~7%).
+MAX_BANDS = 6
 
 def chain_pitch(la_max: int, hb: int, wc: int) -> int:
     """Slot pitch d for a chain: >= la_max + 1, padded up so the band
@@ -151,7 +153,9 @@ def prep_hetero(triplets, dims, d):
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "scoring", "interpret"))
-def _hetero_core(a_ext, b_all, c_all, qcap, d, npack, dims, scoring, interpret):
+def _hetero_core(a_ext, b_all, c_all, qcap, d, npack, dims, scoring, interpret,
+                 edge=None, askew_override=None, bpt_override=None,
+                 cpt_override=None):
     """Device core: build slot-plane tables + askew, run the fused grid
     (or the per-call scan in interpret mode), return capture planes.
 
@@ -161,22 +165,30 @@ def _hetero_core(a_ext, b_all, c_all, qcap, d, npack, dims, scoring, interpret):
     npack_cap = dims[12]
     tb, tc = hb - 1, wc - 1
 
-    askew = BK._build_askew_blocked(a_ext, qqb, hb, wc, unb)
-    # Per-(block row, slot) B planes and per-(block col, slot) C planes.
-    j0s = jnp.arange(n_jb, dtype=jnp.int32) * tb
-    k0s = jnp.arange(n_kb, dtype=jnp.int32) * tc
-    bwin = b_all[:, j0s[:, None] + jnp.arange(hb, dtype=jnp.int32)[None, :]]
-    cwin = c_all[:, k0s[:, None] + jnp.arange(wc, dtype=jnp.int32)[None, :]]
-    bpt = jnp.broadcast_to(
-        jnp.swapaxes(bwin, 0, 1)[:, :, :, None], (n_jb, npack_cap, hb, wc)
-    )
-    cpt = jnp.broadcast_to(
-        jnp.swapaxes(cwin, 0, 1)[:, :, None, :], (n_kb, npack_cap, hb, wc)
-    )
+    if askew_override is not None:
+        askew = askew_override  # (NJB, qqb + hb + unb, wc) tiled bands
+    else:
+        askew = BK._build_askew_blocked(a_ext, qqb, hb, wc, unb)[None]
+    if bpt_override is not None:
+        bpt, cpt = bpt_override, cpt_override
+    else:
+        # Per-(block row, slot) B planes / per-(block col, slot) C planes.
+        j0s = jnp.arange(n_jb, dtype=jnp.int32) * tb
+        k0s = jnp.arange(n_kb, dtype=jnp.int32) * tc
+        bwin = b_all[:, j0s[:, None] + jnp.arange(hb, dtype=jnp.int32)[None, :]]
+        cwin = c_all[:, k0s[:, None] + jnp.arange(wc, dtype=jnp.int32)[None, :]]
+        bpt = jnp.broadcast_to(
+            jnp.swapaxes(bwin, 0, 1)[:, :, :, None], (n_jb, npack_cap, hb, wc)
+        )
+        cpt = jnp.broadcast_to(
+            jnp.swapaxes(cwin, 0, 1)[:, :, None, :], (n_kb, npack_cap, hb, wc)
+        )
     zeros = jnp.zeros((hb, wc), jnp.int32)
     jgrid = jnp.arange(hb, dtype=jnp.int32)[:, None]
     kgrid = jnp.arange(wc, dtype=jnp.int32)[None, :]
     jkmod = jnp.remainder(jgrid + kgrid, d)[None].astype(jnp.int32)
+    if edge is None:
+        edge = (((jgrid >= 1) & (kgrid >= 1)).astype(jnp.int32))[None]
     srf0 = jnp.zeros((n_kb, 8 * sr1, wc), jnp.int32)
     cf0 = jnp.zeros((n_jb, 8 * sr2, BK._round_up(hb, 128)), jnp.int32)
 
@@ -192,8 +204,8 @@ def _hetero_core(a_ext, b_all, c_all, qcap, d, npack, dims, scoring, interpret):
 
     if not interpret:
         call = BK.make_hetero_grid_call(dims, scoring, interpret)
-        _, _, caps = call(scal_tab, askew, qcap, jkmod, zeros, srf0, cf0,
-                          bpt, cpt)
+        _, _, caps = call(scal_tab, askew, qcap, jkmod, edge, zeros, srf0,
+                          cf0, bpt, cpt)
         return caps
 
     # Interpret fallback: per-block calls scanned (grid io-aliasing is not
@@ -210,7 +222,7 @@ def _hetero_core(a_ext, b_all, c_all, qcap, d, npack, dims, scoring, interpret):
              jnp.int32(npack), jnp.int32(-1), jnp.int32(-1)]
         ).astype(jnp.int32)
         qcap_i = jax.lax.dynamic_slice(qcap, (i, 0, 0), (1, hb, wc))
-        srf, cf, cap = call(scal, askew, qcap_i, jkmod, zeros, srf, cf,
+        srf, cf, cap = call(scal, askew, qcap_i, jkmod, edge, zeros, srf, cf,
                             bpt, cpt)
         caps = jax.lax.dynamic_update_slice(caps, cap, (i, 0, 0))
         return (srf, cf, caps), None

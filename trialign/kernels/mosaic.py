@@ -1,0 +1,301 @@
+"""Mosaic packing: a 2D tiling of MANY independent problem chains into ONE
+universal plane geometry, swept by a single compiled kernel.
+
+The hetero chain (kernels/chain.py) multiplexes problems along the A axis;
+its per-(lb, lc) geometry classes still cost one compile each and leave
+lanes/rows idle for small problems.  Mosaic packing removes both: the
+plane is one universal (hb=520, wc=640) tile canvas whose rows split into
+static ASKEW J-BANDS (136+128+128+128) -- each band reads its symbols
+from its own Hankel array, so vertically stacked tiles carry different A
+chains (kernels/blocked._block_sweep multi-band windows).  A TILE is a
+(band-run x lane-range) rectangle hosting its own chain of up to npack
+problems; tile borders are zero faces via the runtime edge-mask plane,
+captures land in the per-cell qcap plane, and per-slot B/C planes carry
+every tile's sequences at once (the band ring machinery is tile-agnostic).
+
+One kernel compile serves EVERY batch; a dispatch carries up to
+NT_MAX x npack problems.  This is the full generalization of the
+reference's single-problem PE array into a spatially+temporally shared
+systolic fabric (reference: pic/Architecture.png; its host FSM ran one
+triplet at a time, src/TriAlign_tb.sv:313-333).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trialign.config import PAD_SYMBOL, Scoring
+from trialign.kernels import blocked as BK
+from trialign.kernels import chain as CH
+
+# Universal canvas: 520 rows = 4 askew bands, 640 lanes.
+HB, WC = 520, 640
+BANDS = (136, 128, 128, 128)
+NT_MAX = 16  # tiles per dispatch
+P_CAP = 32  # chain slots per tile
+UNB = 8
+
+_BOFF = tuple(int(np.sum(BANDS[:i])) for i in range(len(BANDS)))
+# Valid tile row-runs: contiguous band runs (start band, height, j0).
+_RUNS = []
+for _b0 in range(len(BANDS)):
+    for _b1 in range(_b0, len(BANDS)):
+        _RUNS.append((_b0, _b1, _BOFF[_b0], int(sum(BANDS[_b0:_b1 + 1]))))
+
+
+def plan_mosaic(la_cap: int, npack_cap: int = P_CAP) -> Tuple:
+    """15-tuple dims for the universal mosaic canvas (single block, no
+    faces): chain.plan_hetero geometry extended with the askew band
+    heights."""
+    dims = CH.plan_hetero(la_cap, HB - 1, WC - 1, npack_cap, HB, WC, UNB)
+    return dims + (BANDS,)
+
+
+class Tile:
+    """One tile: rows [j0, j0+th) x lanes [k0, k0+tw), bands [b0, b1]."""
+
+    def __init__(self, b0, b1, j0, th, k0, tw):
+        self.b0, self.b1, self.j0, self.th, self.k0, self.tw = (
+            b0, b1, j0, th, k0, tw
+        )
+        self.problems: List = []  # [(orig_idx, (a, b, c)), ...]
+        self.cells = set()  # (lb, lc) final cells used
+
+    def fits(self, lb, lc):
+        return lb + 1 < self.th and lc + 1 < self.tw + 1 and (
+            (lb, lc) not in self.cells
+        )
+
+
+def _rotate(t, sop: bool):
+    """Axis assignment: A = longest (chains along i love long A), then B =
+    longer of the rest.  sop scoring is fully permutation-symmetric;
+    rtl-mode s3 is only A<->C symmetric, so rtl just puts the longer of
+    (a, c) on A."""
+    a, b, c = t
+    if sop:
+        seqs = sorted((a, b, c), key=len, reverse=True)
+        return seqs[0], seqs[1], seqs[2]
+    if len(c) > len(a):
+        return c, b, a
+    return t
+
+
+def pack_mosaic(problems, npack_cap: int = P_CAP):
+    """Greedy shelf packer: problems -> dispatches of <= NT_MAX tiles.
+
+    ``problems`` = [(orig_idx, (a, b, c)), ...] already rotated.  Sorted
+    by descending |B|; tiles open on demand with the smallest band-run
+    that fits, stacked k-shelf by k-shelf.  Returns a list of dispatches,
+    each a list of Tiles."""
+    order = sorted(problems, key=lambda it: (-len(it[1][1]), -len(it[1][2])))
+    dispatches: List[List[Tile]] = []
+
+    def open_tile(disp, kcursor, lb, lc):
+        # smallest run covering lb+1 rows, preferring later (smaller) bands
+        for b0, b1, j0, h in sorted(_RUNS, key=lambda r: (r[3], r[0])):
+            if h >= lb + 2:
+                run = (b0, b1, j0, h)
+                break
+        else:
+            return None
+        b0, b1, j0, h = run
+        tw = min(lc + 2, WC)
+        # place at the first k where bands b0..b1 are all free for tw lanes
+        taken = sorted(
+            (t.k0, t.k0 + t.tw)
+            for t in disp
+            if not (t.b1 < b0 or t.b0 > b1)
+        )
+        k = 0
+        for lo, hi in taken:
+            if k + tw <= lo:
+                break
+            k = max(k, hi)
+        if k + tw > WC:
+            return None
+        tile = Tile(b0, b1, j0, h, k, tw)
+        disp.append(tile)
+        return tile
+
+    for item in order:
+        _, (a, b, c) = item
+        lb, lc = len(b), len(c)
+        placed = False
+        for disp in dispatches:
+            for t in disp:
+                if t.fits(lb, lc) and len(t.problems) < npack_cap:
+                    t.problems.append(item)
+                    t.cells.add((lb, lc))
+                    placed = True
+                    break
+            if placed:
+                break
+            if len(disp) < NT_MAX:
+                t = open_tile(disp, None, lb, lc)
+                if t is not None:
+                    t.problems.append(item)
+                    t.cells.add((lb, lc))
+                    placed = True
+                    break
+        if not placed:
+            disp = []
+            t = open_tile(disp, None, lb, lc)
+            assert t is not None, (lb, lc)
+            t.problems.append(item)
+            t.cells.add((lb, lc))
+            dispatches.append(disp)
+    return dispatches
+
+
+def prep_mosaic(disp: List[Tile], dims, d):
+    """Host arrays for one mosaic dispatch.
+
+    Returns (a_cols, colmask, bpos, cpos, qcap, edge, layout, cells) where
+    a_cols is (NT_MAX, lab+2) per-tile A-chain vectors, colmask
+    (len(BANDS), NT_MAX, WC) band-ownership column masks, bpos/cpos the
+    per-(slot, tile) B/C symbol rows positioned at the tile offsets, qcap
+    and edge the capture/border planes, and cells[i] = (0, j, k) score
+    locations aligned with the flattened problem list."""
+    lab = dims[2]
+    npack_cap = dims[12]
+    a_cols = np.full((NT_MAX, lab + 2), PAD_SYMBOL, np.int32)
+    colmask = np.zeros((len(BANDS), NT_MAX, WC), np.int32)
+    bpos = np.full((npack_cap, NT_MAX, HB), PAD_SYMBOL - 1, np.int32)
+    cpos = np.full((npack_cap, NT_MAX, WC), PAD_SYMBOL - 2, np.int32)
+    qcap = np.full((1, HB, WC), -7, np.int32)
+    edge = np.zeros((1, HB, WC), np.int32)
+    layout = np.zeros((NT_MAX, 4), np.int32)  # j0, th, k0, tw
+    cells = []
+    flat = []
+    for ti, tile in enumerate(disp):
+        layout[ti] = (tile.j0, tile.th, tile.k0, tile.tw)
+        for b in range(tile.b0, tile.b1 + 1):
+            colmask[b, ti, tile.k0 : tile.k0 + tile.tw] = 1
+        # interior cells (local jl, kl >= 1) are live
+        edge[0, tile.j0 + 1 : tile.j0 + tile.th,
+             tile.k0 + 1 : tile.k0 + tile.tw] = 1
+        for m, (oi, (a, b_, c_)) in enumerate(tile.problems):
+            la, lb, lc = len(a), len(b_), len(c_)
+            assert la <= d - 1 and lb + 1 <= tile.th and lc + 1 <= tile.tw
+            a_cols[ti, m * d + 1 : m * d + 1 + la] = a
+            bpos[m, ti, tile.j0 + 1 : tile.j0 + 1 + lb] = b_
+            cpos[m, ti, tile.k0 + 1 : tile.k0 + 1 + lc] = c_
+            jstar, kstar = tile.j0 + lb, tile.k0 + lc
+            qcap[0, jstar, kstar] = m * d + la + jstar + kstar
+            cells.append((0, jstar, kstar))
+            flat.append(oi)
+    return (a_cols, colmask, bpos, cpos, qcap, edge, layout, cells, flat)
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "scoring", "interpret"))
+def _mosaic_core(a_cols, colmask, bpos, cpos, qcap, edge, layout, d, npack,
+                 dims, scoring, interpret):
+    """Device core: per-tile Hankels column-selected into the band askew
+    arrays, per-slot B/C planes assembled by tile masks, then the shared
+    hetero kernel."""
+    from trialign.kernels.wavefront import build_askew
+
+    hb, wc, lab = dims[0], dims[1], dims[2]
+    qqb, unb = dims[5], dims[10]
+    npack_cap = dims[12]
+    nbands = len(dims[14])
+
+    rows = qqb + hb + unb
+    # Per-tile Hankels (the 1D shear trick), column-selected per band.
+    hank = [
+        build_askew(a_cols[t], qqb, rows, wc) for t in range(NT_MAX)
+    ]
+    askew = []
+    for b in range(nbands):
+        acc = jnp.full((rows, wc), PAD_SYMBOL, jnp.int32)
+        for t in range(NT_MAX):
+            acc = jnp.where(colmask[b, t][None, :] > 0, hank[t], acc)
+        askew.append(acc)
+    askew = jnp.stack(askew)
+
+    # Per-slot B/C planes assembled from tile rectangles.
+    jg = jnp.arange(hb, dtype=jnp.int32)[:, None]
+    kg = jnp.arange(wc, dtype=jnp.int32)[None, :]
+    bpt = jnp.full((npack_cap, hb, wc), PAD_SYMBOL - 1, jnp.int32)
+    cpt = jnp.full((npack_cap, hb, wc), PAD_SYMBOL - 2, jnp.int32)
+    for t in range(NT_MAX):
+        j0, th, k0, tw = (layout[t, i] for i in range(4))
+        m = (jg >= j0) & (jg < j0 + th) & (kg >= k0) & (kg < k0 + tw)
+        bpt = jnp.where(m[None], bpos[:, t, :, None], bpt)
+        cpt = jnp.where(m[None], cpos[:, t, None, :], cpt)
+
+    return CH._hetero_core(
+        jnp.zeros((lab + 2,), jnp.int32), jnp.zeros((npack_cap, 1), jnp.int32),
+        jnp.zeros((npack_cap, 1), jnp.int32), qcap, d, npack, dims, scoring,
+        interpret, edge=edge,
+        askew_override=askew, bpt_override=bpt[None], cpt_override=cpt[None],
+    )
+
+
+def align_batch_mosaic(
+    triplets: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    scoring: Scoring = Scoring(),
+) -> List[int]:
+    """Batch scoring through mosaic tiling: ONE kernel compile, a few
+    large dispatches, scores in input order.
+
+    Problems beyond the canvas (|B| or |C| >= 519/639 after rotation) or
+    with empty sequences route to the blocked/zero paths."""
+    triplets = [tuple(np.asarray(s) for s in t) for t in triplets]
+    sop = scoring.s3_mode == "sop"
+    out = [0] * len(triplets)
+    items = []
+    for i, t in enumerate(triplets):
+        if min(map(len, t)) == 0:
+            continue
+        rt = _rotate(t, sop)
+        if len(rt[1]) + 2 > HB or len(rt[2]) + 2 > WC:
+            from trialign.kernels.blocked import align_blocked
+
+            out[i] = align_blocked(t[0], t[1], t[2], scoring)
+            continue
+        items.append((i, rt))
+    if not items:
+        return out
+
+    interpret = jax.default_backend() != "tpu"
+    # Group by |A| so each dispatch's chain pitch (max |A|+1, floored by
+    # the band cap) stays close to its problems' lengths.
+    floor_d = CH.chain_pitch(0, HB, WC)
+    la_groups = {}
+    for item in items:
+        la = len(item[1][0])
+        key = 0 if la < floor_d else (la - floor_d) // 128 + 1
+        la_groups.setdefault(key, []).append(item)
+    dispatches = []
+    for key in sorted(la_groups):
+        dispatches.extend(pack_mosaic(la_groups[key]))
+    la_cap = max(len(rt[0]) for _, rt in items)
+    dims = plan_mosaic(la_cap)
+    pending = []
+    for disp in dispatches:
+        d = CH.chain_pitch(max(len(rt[0]) for t in disp for _, rt in t.problems),
+                           HB, WC)
+        (a_cols, colmask, bpos, cpos, qcap, edge, layout, cells, flat) = (
+            prep_mosaic(disp, dims, d)
+        )
+        caps = _mosaic_core(
+            jnp.asarray(a_cols), jnp.asarray(colmask), jnp.asarray(bpos),
+            jnp.asarray(cpos), jnp.asarray(qcap), jnp.asarray(edge),
+            jnp.asarray(layout), jnp.int32(d),
+            jnp.int32(max(len(t.problems) for t in disp)),
+            dims, scoring, interpret,
+        )
+        js = jnp.asarray([c[1] for c in cells])
+        ks = jnp.asarray([c[2] for c in cells])
+        pending.append((flat, caps[0, js, ks]))
+    for flat, scores_dev in pending:
+        for oi, s in zip(flat, jax.device_get(scores_dev)):
+            out[oi] = int(s)
+    return out
