@@ -52,3 +52,54 @@ def test_traceback_compiled_parity(rng):
     score, rows = H.hirschberg_align(a, b, c)
     assert score == want
     assert rescore_alignment(rows) == want
+
+
+@pytest.mark.tpu
+@tpu_only
+def test_chain_homo_compiled_parity(rng):
+    """A-axis chain (shared B/C) on hardware, multi-block geometry."""
+    from trialign.kernels.blocked import align_blocked_chain
+
+    a_list = [random_triplet(rng, 60, 1, 1)[0] for _ in range(4)]
+    _, b, c = random_triplet(rng, 1, 200, 300)
+    want = [align_planes_numpy(a, b, c) for a in a_list]
+    assert align_blocked_chain(a_list, b, c) == want
+
+
+@pytest.mark.tpu
+@tpu_only
+def test_chain_hetero_compiled_parity(rng):
+    """Hetero chain (per-slot B/C band rings) on hardware."""
+    from trialign.kernels.chain import align_chain
+
+    trips = [random_triplet(rng, 60, 80, 100), random_triplet(rng, 50, 90, 70),
+             random_triplet(rng, 70, 60, 110)]
+    want = [align_planes_numpy(*t) for t in trips]
+    assert align_chain(trips) == want
+
+
+@pytest.mark.tpu
+@tpu_only
+def test_mosaic_compiled_parity(rng):
+    """Mosaic tiling (production canvas) on hardware."""
+    from trialign.kernels.mosaic import align_batch_mosaic
+
+    trips = [random_triplet(rng, 150, 130, 140), random_triplet(rng, 200, 90, 180),
+             random_triplet(rng, 120, 160, 100), random_triplet(rng, 180, 140, 150)]
+    want = [align_planes_numpy(*t) for t in trips]
+    assert align_batch_mosaic(trips) == want
+
+
+@pytest.mark.tpu
+@tpu_only
+def test_direct_traceback_compiled_parity(rng):
+    """Direct choice-capture traceback engine on hardware."""
+    from trialign.golden.numpy_model import rescore_alignment
+    from trialign.traceback.direct import direct_traceback
+
+    a, b, c = random_triplet(rng, 140, 130, 150)
+    want = align_planes_numpy(a, b, c)
+    score, cols = direct_traceback(a, b, c)
+    rows = [list(r) for r in zip(*cols)]
+    assert score == want
+    assert rescore_alignment(rows, Scoring()) == want

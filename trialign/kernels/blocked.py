@@ -64,19 +64,28 @@ VMEM_DEFAULT_CAP = 16 * 2**20
 
 def _vmem_limit_for(dims):
     """vmem_limit_bytes for a geometry: None when the default 16 MB cap
-    suffices (fast compiles), else the estimated requirement plus margin."""
+    suffices (fast compiles), else the estimated requirement plus margin.
+
+    Keep requests honest AND under physical VMEM: a limit beyond what the
+    chip has makes Mosaic silently SPILL scratch to HBM (S(1) buffers),
+    costing ~5x at runtime -- the planner must shrink shapes instead."""
     hb, wc, unb = dims[0], dims[1], dims[10]
     hbp = _round_up(hb, 128)
-    est = ((16 + 2 * unb) * hb * wc + 2 * (hb + unb) * wc
-           + 2 * 8 * unb * (2 * wc + 2 * hbp + hb)) * 4
     if len(dims) > 13:
-        # hetero mode: B/C plane rings + qcap/jkmod inputs + the 17-plane
-        # sweep-state scratch (and its Mosaic stack temporaries).
+        # hetero mode: no carried planes (state scratch replaces them),
+        # but the bigger step body costs ~4 Mosaic stack temporaries per
+        # unrolled step (measured: 80.5 MB actual at (520,512,NB6)):
+        # 4*unb stack + 17 state + B/C rings + 5 input planes + windows.
         nbr = dims[13] + 3
-        est += (2 * nbr + 17 + 6) * hb * wc * 4
+        est = ((4 * unb + 17 + 2 * nbr + 5) * hb * wc
+               + 2 * (hb + len(dims[14]) * unb if len(dims) > 14 else hb + unb) * wc
+               + 2 * 8 * unb * (2 * wc + 2 * hbp + hb)) * 4
+    else:
+        est = ((16 + 2 * unb) * hb * wc + 2 * (hb + unb) * wc
+               + 2 * 8 * unb * (2 * wc + 2 * hbp + hb)) * 4
     if est <= VMEM_DEFAULT_CAP - 2 * 2**20:
         return None
-    return est + est // 2 + 4 * 2**20
+    return min(est + est // 5 + 4 * 2**20, 108 * 2**20)
 
 
 def _round_up(x, m):

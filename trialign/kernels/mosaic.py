@@ -33,8 +33,10 @@ from trialign.config import PAD_SYMBOL, Scoring
 from trialign.kernels import blocked as BK
 from trialign.kernels import chain as CH
 
-# Universal canvas: 520 rows = 4 askew bands, 640 lanes.
-HB, WC = 520, 640
+# Universal canvas: 520 rows = 4 askew bands, 512 lanes (the (520, 640)
+# variant needs ~92 MB of scoped VMEM and pushes Mosaic into HBM
+# spilling, ~5x slower; 512 lanes keep the working set ~62 MB).
+HB, WC = 520, 512
 BANDS = (136, 128, 128, 128)
 NT_MAX = 16  # tiles per dispatch
 P_CAP = 32  # chain slots per tile
