@@ -155,9 +155,10 @@ def bench_batch_mixed(n_triplets, scoring: Scoring = Scoring(),
     dispatches + transfers) through the hetero-chain pipeline.
 
     Returns (aggregate GCUPS, seconds, triplets/s).  Spot-checks
-    ``parity_samples`` random scores against the NumPy oracle."""
+    ``parity_samples`` random scores against the NumPy oracle.  Runs the
+    mosaic tiling pipeline (2 kernel compiles total)."""
     from trialign.golden import align_planes_numpy
-    from trialign.kernels.chain import align_batch_chained
+    from trialign.kernels.mosaic import align_batch_mosaic
 
     rng = np.random.default_rng(77)
     trips = [
@@ -168,11 +169,11 @@ def bench_batch_mixed(n_triplets, scoring: Scoring = Scoring(),
         for _ in range(n_triplets)
     ]
     cells = sum(len(a) * len(b) * len(c) for a, b, c in trips)
-    scores = align_batch_chained(trips)  # compile + warm
+    scores = align_batch_mosaic(trips)  # compile + warm
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        scores = align_batch_chained(trips)  # host ints: fully synced
+        scores = align_batch_mosaic(trips)  # host ints: fully synced
         best = min(best, time.perf_counter() - t0)
     for i in rng.choice(n_triplets, size=parity_samples, replace=False):
         want = align_planes_numpy(*trips[i])

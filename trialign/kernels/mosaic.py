@@ -33,11 +33,16 @@ from trialign.config import PAD_SYMBOL, Scoring
 from trialign.kernels import blocked as BK
 from trialign.kernels import chain as CH
 
-# Universal canvas: 520 rows = 4 askew bands, 512 lanes (the (520, 640)
-# variant needs ~92 MB of scoped VMEM and pushes Mosaic into HBM
-# spilling, ~5x slower; 512 lanes keep the working set ~62 MB).
-HB, WC = 520, 512
-BANDS = (136, 128, 128, 128)
+CH_P_CAP = 32  # slots for the tall-problem hetero class
+TALL_SHAPE = (520, 384, 8)  # hetero class geometry for beyond-canvas problems
+
+# Universal canvas: 392 rows = 3 askew bands, 512 lanes.  Bigger
+# canvases blow the scoped-VMEM working set past what the chip runs at
+# full speed (~80 MB measured at (520,512) runs ~5x slow -- silent HBM
+# spill; ~58 MB here is safe).  Problems too tall for the canvas go
+# through a single (520, 384) hetero chain class instead.
+HB, WC = 392, 512
+BANDS = (136, 128, 128)
 NT_MAX = 16  # tiles per dispatch
 P_CAP = 32  # chain slots per tile
 UNB = 8
@@ -253,16 +258,48 @@ def align_batch_mosaic(
     sop = scoring.s3_mode == "sop"
     out = [0] * len(triplets)
     items = []
+    tall = []
     for i, t in enumerate(triplets):
         if min(map(len, t)) == 0:
             continue
         rt = _rotate(t, sop)
         if len(rt[1]) + 2 > HB or len(rt[2]) + 2 > WC:
-            from trialign.kernels.blocked import align_blocked
-
-            out[i] = align_blocked(t[0], t[1], t[2], scoring)
+            tall.append((i, rt))
             continue
         items.append((i, rt))
+    # Tall problems (mid length beyond the canvas rows): one (520, 384)
+    # hetero chain class; the rare min-length > 382 residue goes blocked.
+    if tall:
+        from trialign.kernels.blocked import align_blocked
+
+        t_hb, t_wc = TALL_SHAPE[0], TALL_SHAPE[1]
+        chainable = [(i, rt) for i, rt in tall
+                     if len(rt[1]) < t_hb and len(rt[2]) < t_wc - 1]
+        chain_ids = {i for i, _ in chainable}
+        for i, rt in tall:
+            if i not in chain_ids:
+                out[i] = align_blocked(rt[0], rt[1], rt[2], scoring)
+        if chainable:
+            la_cap = max(len(rt[0]) for _, rt in chainable)
+            dims_t = CH.plan_hetero(la_cap, t_hb - 1, t_wc - 2, CH_P_CAP,
+                                    *TALL_SHAPE)
+            for chain in CH.pack_chains(chainable, max_p=CH_P_CAP):
+                la_max = max(len(rt[0]) for _, rt in chain)
+                dd = CH.chain_pitch(la_max, t_hb, t_wc)
+                a_ext, b_all, c_all, qcap, cells = CH.prep_hetero(
+                    [rt for _, rt in chain], dims_t, dd
+                )
+                caps = CH._hetero_core(
+                    jnp.asarray(a_ext), jnp.asarray(b_all),
+                    jnp.asarray(c_all), jnp.asarray(qcap), jnp.int32(dd),
+                    jnp.int32(len(chain)), dims_t, scoring,
+                    jax.default_backend() != "tpu",
+                )
+                blks = jnp.asarray([c[0] for c in cells])
+                jls = jnp.asarray([c[1] for c in cells])
+                kls = jnp.asarray([c[2] for c in cells])
+                for (i, _), sc_ in zip(chain, jax.device_get(caps[blks, jls, kls])):
+                    out[i] = int(sc_)
     if not items:
         return out
 
