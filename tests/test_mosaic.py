@@ -25,7 +25,7 @@ def small_canvas(monkeypatch):
     monkeypatch.setattr(M, "P_CAP", 4)
     monkeypatch.setattr(M, "NT_MAX", 6)
     monkeypatch.setattr(M, "CH_P_CAP", 4)
-    monkeypatch.setattr(M, "TALL_SHAPE", (80, 128, 8))
+    monkeypatch.setattr(M, "TALL_SHAPES", ((80, 128, 8),))
     return M
 
 

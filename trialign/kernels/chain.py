@@ -53,7 +53,8 @@ def chain_pitch(la_max: int, hb: int, wc: int) -> int:
 
 
 def plan_hetero(la_cap: int, lb_max: int, lc_max: int, npack_cap: int,
-                hb: int, wc: int, unb: int = BK.DEF_UNB) -> Tuple:
+                hb: int, wc: int, unb: int = BK.DEF_UNB,
+                nb: Optional[int] = None) -> Tuple:
     """14-tuple CLASS dims for hetero chains: plan_dims geometry +
     (0, npack_cap, MAX_BANDS).
 
@@ -74,7 +75,7 @@ def plan_hetero(la_cap: int, lb_max: int, lc_max: int, npack_cap: int,
     sr1 = qqb + 2 * unb + 2
     sr2 = qqb + 2 * unb + 2
     return (hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb,
-            0, npack_cap, MAX_BANDS)
+            0, npack_cap, MAX_BANDS if nb is None else nb)
 
 
 def choose_chain_shape(la_max: int, lb_max: int, lc_max: int,

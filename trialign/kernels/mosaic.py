@@ -33,16 +33,23 @@ from trialign.config import PAD_SYMBOL, Scoring
 from trialign.kernels import blocked as BK
 from trialign.kernels import chain as CH
 
-CH_P_CAP = 32  # slots for the tall-problem hetero class
-TALL_SHAPE = (520, 384, 8)  # hetero class geometry for beyond-canvas problems
+CH_P_CAP = 32  # slots for the tall-problem hetero classes
+# Hetero class geometries for beyond-canvas problems.  Each stays under
+# the ~51 MB fast-VMEM working set (the chip silently spills past ~55 MB
+# at ~5x runtime cost); chains here have la >= mid-length > canvas rows,
+# so 4 bands always suffice (S // la_floor + 2).
+TALL_SHAPES = (
+    (456, 384, 8),   # mid <= 455, min <= 382
+    (520, 256, 8),   # mid <= 519, min <= 254
+)
 
 # Universal canvas: 392 rows = 3 askew bands, 512 lanes.  Bigger
 # canvases blow the scoped-VMEM working set past what the chip runs at
 # full speed (~80 MB measured at (520,512) runs ~5x slow -- silent HBM
 # spill; ~58 MB here is safe).  Problems too tall for the canvas go
 # through a single (520, 384) hetero chain class instead.
-HB, WC = 392, 512
-BANDS = (136, 128, 128)
+HB, WC = 328, 512
+BANDS = (136, 128, 64)
 NT_MAX = 16  # tiles per dispatch
 P_CAP = 32  # chain slots per tile
 UNB = 8
@@ -135,13 +142,19 @@ def pack_mosaic(problems, npack_cap: int = P_CAP):
         lb, lc = len(b), len(c)
         placed = False
         for disp in dispatches:
-            for t in disp:
-                if t.fits(lb, lc) and len(t.problems) < npack_cap:
-                    t.problems.append(item)
-                    t.cells.add((lb, lc))
-                    placed = True
-                    break
-            if placed:
+            # Fill the EMPTIEST fitting tile: the sweep length is set by
+            # the fullest tile's slot count, so unbalanced occupancy
+            # leaves late tiles idle for most of the sweep (first-fit
+            # measured ~12% slot utilization on mixed batches).
+            cands = [
+                t for t in disp
+                if t.fits(lb, lc) and len(t.problems) < npack_cap
+            ]
+            if cands:
+                t = min(cands, key=lambda t: len(t.problems))
+                t.problems.append(item)
+                t.cells.add((lb, lc))
+                placed = True
                 break
             if len(disp) < NT_MAX:
                 t = open_tile(disp, None, lb, lc)
@@ -157,6 +170,9 @@ def pack_mosaic(problems, npack_cap: int = P_CAP):
             t.problems.append(item)
             t.cells.add((lb, lc))
             dispatches.append(disp)
+    # Trim: drop empty tiles (opened but never filled cannot happen, but
+    # keep the invariant obvious) and report utilization to callers via
+    # the tile lists themselves.
     return dispatches
 
 
@@ -267,25 +283,32 @@ def align_batch_mosaic(
             tall.append((i, rt))
             continue
         items.append((i, rt))
-    # Tall problems (mid length beyond the canvas rows): one (520, 384)
-    # hetero chain class; the rare min-length > 382 residue goes blocked.
+    # Tall problems (mid length beyond the canvas rows): route through
+    # the smallest tall class that fits; the residue goes blocked.
     if tall:
         from trialign.kernels.blocked import align_blocked
 
-        t_hb, t_wc = TALL_SHAPE[0], TALL_SHAPE[1]
-        chainable = [(i, rt) for i, rt in tall
-                     if len(rt[1]) < t_hb and len(rt[2]) < t_wc - 1]
-        chain_ids = {i for i, _ in chainable}
+        by_class = {si: [] for si in range(len(TALL_SHAPES))}
         for i, rt in tall:
-            if i not in chain_ids:
+            for si, (t_hb, t_wc, _) in enumerate(TALL_SHAPES):
+                if len(rt[1]) < t_hb and len(rt[2]) < t_wc - 1:
+                    by_class[si].append((i, rt))
+                    break
+            else:
                 out[i] = align_blocked(rt[0], rt[1], rt[2], scoring)
-        if chainable:
+        for si, chainable in by_class.items():
+            if not chainable:
+                continue
+            t_hb, t_wc, t_unb = TALL_SHAPES[si]
             la_cap = max(len(rt[0]) for _, rt in chainable)
+            # la >= mid > canvas rows, so the pitch floor allows 4 bands.
             dims_t = CH.plan_hetero(la_cap, t_hb - 1, t_wc - 2, CH_P_CAP,
-                                    *TALL_SHAPE)
+                                    t_hb, t_wc, t_unb, nb=4)
             for chain in CH.pack_chains(chainable, max_p=CH_P_CAP):
                 la_max = max(len(rt[0]) for _, rt in chain)
-                dd = CH.chain_pitch(la_max, t_hb, t_wc)
+                # nb=4 requires S // d <= 2, i.e. d >= S // 3 + 1
+                dd = max(CH.chain_pitch(la_max, t_hb, t_wc),
+                         (t_hb + t_wc - 4) // 3 + 1)
                 a_ext, b_all, c_all, qcap, cells = CH.prep_hetero(
                     [rt for _, rt in chain], dims_t, dd
                 )
