@@ -327,17 +327,13 @@ def align_batch_mosaic(
         return out
 
     interpret = jax.default_backend() != "tpu"
-    # Group by |A| so each dispatch's chain pitch (max |A|+1, floored by
-    # the band cap) stays close to its problems' lengths.
-    floor_d = CH.chain_pitch(0, HB, WC)
-    la_groups = {}
-    for item in items:
-        la = len(item[1][0])
-        key = 0 if la < floor_d else (la - floor_d) // 128 + 1
-        la_groups.setdefault(key, []).append(item)
-    dispatches = []
-    for key in sorted(la_groups):
-        dispatches.extend(pack_mosaic(la_groups[key]))
+    # A dispatch costs ~the full static sweep regardless of its runtime
+    # slot count (the pl.when skip removes compute but ~46 us/macro of
+    # skipped-loop overhead remains), so throughput is set by PROBLEMS
+    # PER DISPATCH: pack everything together and keep dispatches full --
+    # la-grouping fragments occupancy and loses more than tight pitches
+    # gain.
+    dispatches = pack_mosaic(items)
     la_cap = max(len(rt[0]) for _, rt in items)
     dims = plan_mosaic(la_cap)
     pending = []
