@@ -184,29 +184,39 @@ def bench_batch_mixed(n_triplets, scoring: Scoring = Scoring(),
     return cells / best / 1e9, best, n_triplets / best
 
 
-def measure_vpu_rate(iters: int = 4000, ops_per_iter: int = 16):
+def measure_vpu_rate(iters: int = 40000, ops_per_iter: int = 512):
     """Measured sustained int32 elementwise rate (element-ops/s) via a
-    Pallas micro-kernel: a fori loop of dependent max/add chains on a
-    VMEM-resident (256, 512) plane -- the same op mix as the DP update.
-    This is the denominator of the honest roofline."""
+    Pallas micro-kernel: a fori loop of eight independent max/add chains
+    on register-resident vregs -- the same op mix as the DP update.
+    Register-resident state matters: carrying whole planes through the
+    loop measures VMEM bandwidth (~10x low), and a single dependent
+    chain measures ALU latency (~10x low); the DP update has 7-way ILP
+    on register operands, so neither is the right denominator."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
-    shape = (256, 512)
+    shape = (8, 128)
 
     def kernel(x_ref, o_ref):
+        # Eight independent max/add chains: the DP update has wide ILP
+        # (7 matrices), so the roofline denominator must be the
+        # THROUGHPUT rate, not a single dependent chain's latency rate
+        # (a dependent chain measures ~10x low).
         def body(i, acc):
-            a, b = acc
-            for _ in range(ops_per_iter // 2):
-                a = jnp.maximum(a, b)
-                b = b + a
-            return (a, b)
+            accs = list(acc)
+            for r in range(ops_per_iter // 2):
+                j = r % 4
+                accs[2 * j] = jnp.maximum(accs[2 * j], accs[2 * j + 1])
+                accs[2 * j + 1] = accs[2 * j + 1] + accs[2 * j]
+            return tuple(accs)
 
-        a, b = jax.lax.fori_loop(
-            0, iters, body, (x_ref[:], x_ref[:] + 1)
-        )
-        o_ref[:] = a + b
+        accs = tuple(x_ref[:] + i for i in range(8))
+        accs = jax.lax.fori_loop(0, iters, body, accs)
+        out = accs[0]
+        for a in accs[1:]:
+            out = jnp.maximum(out, a)
+        o_ref[:] = out
 
     f = jax.jit(
         lambda x: pl.pallas_call(
@@ -227,18 +237,26 @@ def measure_vpu_rate(iters: int = 4000, ops_per_iter: int = 16):
     return total_ops / best
 
 
-def roofline(scoring: Scoring = Scoring(), measured_gcups: float = 0.0):
+def roofline(scoring: Scoring = Scoring(), measured_gcups: float = 0.0,
+             dense_gcups: float = 0.0):
     """Honest per-chip ceiling for this formulation (round-1 VERDICT item
-    5): measured elementwise rate / vector ops per DP cell.
+    5): sustained elementwise rate / vector ops per DP cell.
 
     ops/cell = the grouped max-plus update (plane_math.op_count, ~65) plus
     the per-step structural overhead (validity masks, 7 masked selects,
-    halo installs: ~21 plane-ops measured from the kernel body)."""
+    halo installs: ~21 plane-ops counted from the kernel body).
+
+    The rate is the max of a register-resident micro-benchmark and the
+    densest production kernel's own achieved rate (``dense_gcups``, e.g.
+    the 2k^3 sweep at ~95% plane occupancy): plane-streaming sustains a
+    higher op rate than any small-state micro-loop (vector issue pipelines
+    over long streams), so the production kernel itself is the best known
+    realization of the VPU ceiling under real operand traffic."""
     from trialign.kernels.plane_math import op_count
 
     STRUCTURAL_OPS = 21  # masks + 7 border selects + 2x7 halo installs / 8
     ops_cell = op_count(scoring) + STRUCTURAL_OPS
-    rate = measure_vpu_rate()
+    rate = max(measure_vpu_rate(), dense_gcups * 1e9 * ops_cell)
     ceiling = rate / ops_cell / 1e9
     return {
         "vpu_element_ops_per_s": rate,
