@@ -94,10 +94,12 @@ def choose_chain_shape(la_max: int, lb_max: int, lc_max: int,
             dd_min = (hb + wc - 4) // (MAX_BANDS - 1) + 1
             nb = (hb + wc - 4) // max(d, dd_min) + 2
             nbr = nb + 3
-            # carried planes + Mosaic temps + rings (faces, symbols, B/C)
-            vmem = ((17 + 2 * 8) * hb * wc + 2 * nbr * hb * wc
-                    + 2 * (hb + 8) * wc + hb * wc) * 4
-            if vmem > 72 * 2**20:
+            # 4*unb stack temporaries + 17 state + rings + inputs; past
+            # ~55 MB Mosaic silently spills scratch to HBM at ~5x runtime
+            # cost (measured), so the budget stays under the cliff.
+            vmem = ((4 * 8 + 17 + 2 * nbr + 5) * hb * wc
+                    + 2 * (hb + 8) * wc) * 4
+            if vmem > 50 * 2**20:
                 continue
             dd = max(d, dd_min)
             qqb = npack * dd + tb + tc
