@@ -122,7 +122,7 @@ def bench_batch(n, batch, scoring: Scoring = Scoring()):
 
 
 def bench_blocked_chain(n, npack, scoring: Scoring = Scoring(),
-                        block_shape=(264, 640, 8)):
+                        block_shape=(264, 640, 24)):
     """Per-alignment time at n^3 via an A-axis chain of ``npack`` distinct
     alignments fused into ONE sweep (shared B/C across the chain, distinct
     A per slot -- the same inputs-vary rule the chained-jit bench uses).
