@@ -60,7 +60,13 @@ def main():
         log(f"blocked 512^3 single-stream: {dt512s*1e3:.2f} ms -> {g512s:.2f} GCUPS")
         g2k, dt2k = bench_blocked(2048, 2, scoring)
         log(f"blocked 2048^3: {dt2k*1e3:.1f} ms -> {g2k:.2f} GCUPS")
-        rf = roofline(scoring, measured_gcups=blocked_gcups, dense_gcups=g2k)
+        gc1k, dt1k = bench_blocked_chain(1024, 8, scoring, (520, 384, 16))
+        log(
+            f"blocked 1k^3 chained x8 (back-to-back): {dt1k*1e3:.1f} "
+            f"ms/alignment -> {gc1k:.2f} GCUPS"
+        )
+        rf = roofline(scoring, measured_gcups=blocked_gcups,
+                      dense_gcups=max(g2k, gc1k))
         log(
             f"roofline: {rf['vpu_element_ops_per_s']/1e12:.2f} T elem-ops/s "
             f"sustained / {rf['ops_per_cell']} ops/cell -> ceiling "
@@ -83,6 +89,8 @@ def main():
             "blocked_512_gcups": round(gc512, 3),
             "blocked_512_single_ms": round(dt512s * 1e3, 2),
             "blocked_2048_gcups": round(g2k, 3),
+            "blocked_1024_chained_gcups": round(gc1k, 3),
+            "blocked_1024_chained_ms": round(dt1k * 1e3, 1),
             "single_stream_255_gcups": round(single_gcups, 3),
             "batch_mixed_1024_gcups": round(bm_gcups, 3),
             "batch_mixed_1024_triplets_per_s": round(bm_tps, 1),
