@@ -120,4 +120,19 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import os
+
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        # The remote TPU worker nondeterministically crashes under
+        # sustained load ("UNAVAILABLE: TPU worker process crashed");
+        # a fresh process after a pause usually succeeds.  Re-exec once.
+        if "UNAVAILABLE" in str(e) and os.environ.get("TRIALIGN_BENCH_RETRY") != "1":
+            log(f"TPU worker crashed ({str(e)[:120]}); retrying once in a fresh process")
+            import time
+
+            time.sleep(180)
+            os.environ["TRIALIGN_BENCH_RETRY"] = "1"
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
