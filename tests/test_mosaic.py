@@ -92,3 +92,17 @@ def test_mosaic_packer_geometry(rng, small_canvas):
                     continue
                 assert u.k0 + u.tw <= t.k0 or t.k0 + t.tw <= u.k0
     assert sum(len(t.problems) for d_ in disps for t in d_) == 10
+
+
+def test_api_align_batch_routes_large_to_mosaic(rng, small_canvas):
+    """api.align_batch uses mosaic tiling from 64 triplets up."""
+    from trialign.api import align_batch
+
+    trips = [
+        tuple(rng.integers(0, 4, int(rng.integers(5, 16))).astype(np.uint8)
+              for _ in range(3))
+        for _ in range(64)
+    ]
+    res = align_batch(trips)
+    want = [align_planes_numpy(*t) for t in trips]
+    assert [r.score for r in res] == want

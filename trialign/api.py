@@ -160,11 +160,19 @@ def align_batch(
     """
     import time
 
-    from trialign.dist.batch import align_batch_padded
-
     t0 = time.perf_counter()
     arrs = [(_prep(a), _prep(b), _prep(c)) for a, b, c in triplets]
-    scores = align_batch_padded(arrs, scoring)
+    # Large batches run through mosaic tiling (many problems fused per
+    # sweep, one kernel compile); small ones through the padded vmap path
+    # whose compiles are cheap and shapes tight.
+    if len(arrs) >= 64:
+        from trialign.kernels.mosaic import align_batch_mosaic
+
+        scores = align_batch_mosaic(arrs, scoring)
+    else:
+        from trialign.dist.batch import align_batch_padded
+
+        scores = align_batch_padded(arrs, scoring)
     dt = time.perf_counter() - t0
     # Items share one dispatch, so per-item time is apportioned by cell
     # count: every item's .gcups then equals the batch aggregate GCUPS
