@@ -59,12 +59,18 @@ def test_mosaic_vertical_stacking(rng, small_canvas):
 
 
 def test_mosaic_rotation_rtl_mode(rng, small_canvas):
-    """rtl-mode s3 is only A<->C symmetric; the rotation must respect it."""
+    """rtl-mode s3 is only A<->B symmetric; the rotation must respect it.
+    Adversarial: many |C|>|A| and |B|>|A| triplets (where the old A<->C
+    rotation fired and corrupted scores)."""
     from trialign.config import Scoring
 
     M = small_canvas
     sc = Scoring(s3_mode="rtl")
     trips = [_rt(rng, 8, 15, 20), _rt(rng, 25, 12, 9), _rt(rng, 10, 10, 10)]
+    for _ in range(17):
+        la = int(rng.integers(3, 9))
+        trips.append(_rt(rng, la, int(rng.integers(la, 16)),
+                         int(rng.integers(la + 1, 20))))
     got = M.align_batch_mosaic(trips, sc)
     assert got == [align_planes_numpy(*t, sc) for t in trips]
 
@@ -94,10 +100,12 @@ def test_mosaic_packer_geometry(rng, small_canvas):
     assert sum(len(t.problems) for d_ in disps for t in d_) == 10
 
 
-def test_api_align_batch_routes_large_to_mosaic(rng, small_canvas):
-    """api.align_batch uses mosaic tiling from 64 triplets up."""
+def test_api_align_batch_routes_large_to_mosaic(rng, small_canvas, monkeypatch):
+    """api.align_batch uses mosaic tiling from 64 triplets up (on TPU;
+    forced here since interpret-mode mosaic is gated off)."""
     from trialign.api import align_batch
 
+    monkeypatch.setenv("TRIALIGN_FORCE_MOSAIC", "1")
     trips = [
         tuple(rng.integers(0, 4, int(rng.integers(5, 16))).astype(np.uint8)
               for _ in range(3))
@@ -106,3 +114,41 @@ def test_api_align_batch_routes_large_to_mosaic(rng, small_canvas):
     res = align_batch(trips)
     want = [align_planes_numpy(*t) for t in trips]
     assert [r.score for r in res] == want
+
+
+def test_api_align_batch_long_a_skips_mosaic(rng, small_canvas, monkeypatch):
+    """Long-A batches must NOT go to the mosaic canvas (its static sweep
+    scales with la_cap x P_CAP); they route to the bucketed path, and
+    mixed batches split between the two (VERDICT r2 item 7)."""
+    import trialign.api as api
+
+    monkeypatch.setenv("TRIALIGN_FORCE_MOSAIC", "1")
+    calls = {"mosaic": 0, "padded": 0}
+    import trialign.dist.batch as DB
+    import trialign.kernels.mosaic as M
+
+    real_padded = DB.align_batch_padded
+
+    def spy_mosaic(trips, scoring=None, *a, **k):
+        calls["mosaic"] += len(trips)
+        raise AssertionError("mosaic must not receive long-A triplets")
+
+    def spy_padded(trips, *a, **k):
+        calls["padded"] += len(trips)
+        return real_padded(trips, *a, **k)
+
+    monkeypatch.setattr(M, "align_batch_mosaic", spy_mosaic)
+    monkeypatch.setattr(DB, "align_batch_padded", spy_padded)
+    # short sequences but fake-long A via the routing predicate: use real
+    # long A with tiny B/C so the padded path stays cheap
+    la = api.LA_MOSAIC_CAP + 1
+    trips = [
+        (rng.integers(0, 4, la).astype(np.uint8),
+         rng.integers(0, 4, 3).astype(np.uint8),
+         rng.integers(0, 4, 4).astype(np.uint8))
+        for _ in range(64)
+    ]
+    res = api.align_batch(trips)
+    assert calls["padded"] == 64 and calls["mosaic"] == 0
+    want = [align_planes_numpy(*t) for t in trips[:2]]
+    assert [r.score for r in res[:2]] == want

@@ -43,6 +43,11 @@ BACKENDS = (
     "auto", "golden", "xla", "pallas", "pallas_interpret", "blocked", "native"
 )
 
+# Batches whose (rotated) |A| exceeds this skip the mosaic canvas: its
+# chain pitch is la_cap+1 and the static sweep costs ~46 us per skipped
+# macro, so long-A batches are faster through the bucketed blocked path.
+LA_MOSAIC_CAP = 1024
+
 
 def _pick_backend(la: int, lb: int, lc: int) -> str:
     import jax
@@ -160,19 +165,48 @@ def align_batch(
     """
     import time
 
+    import os
+
+    import jax
+
     t0 = time.perf_counter()
     arrs = [(_prep(a), _prep(b), _prep(c)) for a, b, c in triplets]
     # Large batches run through mosaic tiling (many problems fused per
     # sweep, one kernel compile); small ones through the padded vmap path
-    # whose compiles are cheap and shapes tight.
-    if len(arrs) >= 64:
+    # whose compiles are cheap and shapes tight.  Mosaic only pays off on
+    # real hardware (interpret mode sweeps the full canvas in Python) and
+    # only for bounded |A|: the canvas pitch is la_cap+1, so a long-A
+    # batch would pay the per-skipped-macro tax across a mostly-dead
+    # static sweep -- those triplets go to the bucketed path instead.
+    on_tpu = (
+        jax.default_backend() == "tpu"
+        or os.environ.get("TRIALIGN_FORCE_MOSAIC") == "1"
+    )
+    mos_idx: List[int] = []
+    if on_tpu and len(arrs) >= 64:
+        sop = scoring.s3_mode == "sop"
+
+        def la_rot(t):  # |A| after mosaic's axis rotation
+            a, b, c = t
+            return max(len(a), len(b), len(c)) if sop else max(len(a), len(b))
+
+        mos_idx = [i for i, t in enumerate(arrs) if la_rot(t) <= LA_MOSAIC_CAP]
+        if len(mos_idx) < 64:
+            mos_idx = []
+    scores = [0] * len(arrs)
+    if mos_idx:
         from trialign.kernels.mosaic import align_batch_mosaic
 
-        scores = align_batch_mosaic(arrs, scoring)
-    else:
+        for i, s in zip(mos_idx, align_batch_mosaic(
+                [arrs[i] for i in mos_idx], scoring)):
+            scores[i] = s
+    rest_idx = [i for i in range(len(arrs)) if i not in set(mos_idx)]
+    if rest_idx:
         from trialign.dist.batch import align_batch_padded
 
-        scores = align_batch_padded(arrs, scoring)
+        for i, s in zip(rest_idx, align_batch_padded(
+                [arrs[i] for i in rest_idx], scoring)):
+            scores[i] = s
     dt = time.perf_counter() - t0
     # Items share one dispatch, so per-item time is apportioned by cell
     # count: every item's .gcups then equals the batch aggregate GCUPS

@@ -169,14 +169,14 @@ def bench_batch_mixed(n_triplets, scoring: Scoring = Scoring(),
         for _ in range(n_triplets)
     ]
     cells = sum(len(a) * len(b) * len(c) for a, b, c in trips)
-    scores = align_batch_mosaic(trips)  # compile + warm
+    scores = align_batch_mosaic(trips, scoring)  # compile + warm
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        scores = align_batch_mosaic(trips)  # host ints: fully synced
+        scores = align_batch_mosaic(trips, scoring)  # host ints: fully synced
         best = min(best, time.perf_counter() - t0)
     for i in rng.choice(n_triplets, size=parity_samples, replace=False):
-        want = align_planes_numpy(*trips[i])
+        want = align_planes_numpy(*trips[i], scoring)
         if scores[i] != want:
             raise AssertionError(
                 f"mixed-batch parity FAILED at {i}: {scores[i]} != {want}"

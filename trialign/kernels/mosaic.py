@@ -4,8 +4,9 @@ universal plane geometry, swept by a single compiled kernel.
 The hetero chain (kernels/chain.py) multiplexes problems along the A axis;
 its per-(lb, lc) geometry classes still cost one compile each and leave
 lanes/rows idle for small problems.  Mosaic packing removes both: the
-plane is one universal (hb=520, wc=640) tile canvas whose rows split into
-static ASKEW J-BANDS (136+128+128+128) -- each band reads its symbols
+plane is one universal (HB, WC) tile canvas (sized by the VMEM spill
+cliff; see the constants below) whose rows split into static ASKEW
+J-BANDS (the BANDS tuple) -- each band reads its symbols
 from its own Hankel array, so vertically stacked tiles carry different A
 chains (kernels/blocked._block_sweep multi-band windows).  A TILE is a
 (band-run x lane-range) rectangle hosting its own chain of up to npack
@@ -89,14 +90,15 @@ class Tile:
 def _rotate(t, sop: bool):
     """Axis assignment: A = longest (chains along i love long A), then B =
     longer of the rest.  sop scoring is fully permutation-symmetric;
-    rtl-mode s3 is only A<->C symmetric, so rtl just puts the longer of
-    (a, c) on A."""
+    rtl-mode s3 (3 if a==b==c, 0 if a==b!=c, -3 if a!=b) is only A<->B
+    symmetric (measured: A<->C / B<->C swaps change scores on ~40% of
+    random triplets), so rtl may only put the longer of (a, b) on A."""
     a, b, c = t
     if sop:
         seqs = sorted((a, b, c), key=len, reverse=True)
         return seqs[0], seqs[1], seqs[2]
-    if len(c) > len(a):
-        return c, b, a
+    if len(b) > len(a):
+        return b, a, c
     return t
 
 
@@ -268,8 +270,9 @@ def align_batch_mosaic(
     """Batch scoring through mosaic tiling: ONE kernel compile, a few
     large dispatches, scores in input order.
 
-    Problems beyond the canvas (|B| or |C| >= 519/639 after rotation) or
-    with empty sequences route to the blocked/zero paths."""
+    Problems beyond the canvas (|B| + 2 > HB or |C| + 2 > WC after
+    rotation) or with empty sequences route to the tall-class/blocked/zero
+    paths."""
     triplets = [tuple(np.asarray(s) for s in t) for t in triplets]
     sop = scoring.s3_mode == "sop"
     out = [0] * len(triplets)
