@@ -76,13 +76,39 @@ def test_halo_uneven_kb_padding(rng):
 
 def test_halo_efficiency_model_accounts_padding():
     from trialign.dist.halo import halo_efficiency
+    from trialign.kernels.blocked import choose_block_shape
 
-    # lc=300 at the planner's production shape is a single block column:
-    # 8 stripes compute ~7/8 padding and the model must say so.
-    eff = halo_efficiency(16, 140, 300, 8)
-    assert eff["k_fill"] <= 0.25
-    assert eff["total"] < 0.25
+    # lc=300 at the SINGLE-CHIP planner's shape is one block column: 8
+    # stripes compute ~7/8 padding and the model must say so.
+    eff_old = halo_efficiency(
+        16, 140, 300, 8, block_shape=choose_block_shape(16, 140, 300)
+    )
+    assert eff_old["k_fill"] <= 0.15
+    assert eff_old["total"] < 0.1
+    # The mesh-aware planner must do strictly better on the same problem.
+    eff_new = halo_efficiency(16, 140, 300, 8)
+    assert eff_new["total"] > 2 * eff_old["total"]
     # Deep grids with k-aligned stripes approach the pipeline bound.
     eff2 = halo_efficiency(1024, 4096, 8 * 511, 8, block_shape=(200, 512))
     assert eff2["k_fill"] == 1.0
     assert eff2["total"] > 0.7
+
+
+def test_choose_halo_shape_mesh_aligned(rng):
+    """Round-2 VERDICT item 6: the halo planner must choose (hb, wc, unb)
+    jointly with ndev so the block-column count lands on (a multiple of)
+    the stripe count, and the modeled efficiency must clear 0.5 at a
+    mesh-worthy geometry."""
+    from trialign.dist.halo import choose_halo_shape, halo_efficiency
+
+    la, lb, lc, ndev = 16, 300, 1016, 8
+    hb, wc, unb = choose_halo_shape(la, lb, lc, ndev)
+    n_kb = max(1, -(-lc // (wc - 1)))
+    assert n_kb % ndev == 0, (hb, wc, n_kb)
+    eff = halo_efficiency(la, lb, lc, ndev)
+    assert eff["total"] >= 0.5, eff
+    # Parity at the mesh-aware shape on a real (virtual) mesh.
+    a, b, c = random_triplet(rng, la, 60, 280)
+    want = align_planes_numpy(a, b, c)
+    got = align_sharded_triplet(a, b, c, mesh=make_mesh(data=1, model=4))
+    assert got == want

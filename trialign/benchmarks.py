@@ -62,9 +62,14 @@ def bench_single_stream(n, repeats, scoring: Scoring = Scoring()):
     return n**3 / dt / 1e9, dt
 
 
-def bench_blocked(n, repeats, scoring: Scoring = Scoring(), block_shape=None):
+def bench_blocked(n, repeats, scoring: Scoring = Scoring(), block_shape=None,
+                  return_score0=False):
     """Long-triplet sliced sweep (the slicing-method path) at n^3;
-    `repeats` distinct alignments chained inside one jit."""
+    `repeats` distinct alignments chained inside one jit.
+
+    ``return_score0`` appends (score of alignment 0, its (a, b, c)) to the
+    return tuple so callers can parity-check the measured workload itself
+    against an independent oracle (bench.py does, vs the C++ engine)."""
     import jax
     import jax.numpy as jnp
 
@@ -95,11 +100,14 @@ def bench_blocked(n, repeats, scoring: Scoring = Scoring(), block_shape=None):
             BK._blocked_core(lens, ae, barr, carr, dims, scoring, False)[:7].max()
             for ae in aexts
         ]
-        return jnp.stack(outs).sum()
+        return jnp.stack(outs)
 
-    dt = time_chained(
-        chained, (lens, jnp.asarray(b_arr), jnp.asarray(c_arr), *aexts), repeats
-    )
+    args = (lens, jnp.asarray(b_arr), jnp.asarray(c_arr), *aexts)
+    dt = time_chained(chained, args, repeats)
+    if return_score0:
+        score0 = int(jax.device_get(chained(*args))[0])
+        a0 = np.asarray(aexts[0])[1 : n + 1].astype(np.uint8)
+        return n**3 / dt / 1e9, dt, score0, (a0, b, c)
     return n**3 / dt / 1e9, dt
 
 
@@ -146,6 +154,47 @@ def bench_blocked_chain(n, npack, scoring: Scoring = Scoring(),
 
     dt = time_chained(f, args, npack)
     return n**3 / dt / 1e9, dt
+
+
+def bench_hetero_chain(n, npack, scoring: Scoring = Scoring(),
+                       parity_oracle=None):
+    """Per-alignment time at n^3 for a chain of ``npack`` fully DISTINCT
+    triplets (per-slot A, B and C) through the hetero-chain kernel -- the
+    honest back-to-back protocol for a real workload stream (round-2
+    VERDICT item 4; the reference's host FSM serialized distinct triplets
+    one at a time, src/TriAlign_tb.sv:313-333).
+
+    Returns (gcups, seconds/alignment).  ``parity_oracle(a, b, c) -> int``
+    when given checks one chained score (e.g. the native C++ engine).
+
+    Slot m's |C| is n - m: the capture plane holds one capture step per
+    final cell, so chained slots need distinct (lb, lc) -- a <=3% length
+    spread at n=512.  GCUPS uses the true summed cell count."""
+    import jax
+
+    from trialign.kernels import chain as CH
+
+    rng = np.random.default_rng(11)
+    trips = [
+        (rng.integers(0, 4, size=n).astype(np.uint8),
+         rng.integers(0, 4, size=n).astype(np.uint8),
+         rng.integers(0, 4, size=n - m).astype(np.uint8))
+        for m in range(npack)
+    ]
+    scores = CH.align_chain(trips, scoring)  # compile + warm
+    if parity_oracle is not None:
+        want = parity_oracle(*trips[0])
+        if scores[0] != want:
+            raise AssertionError(
+                f"hetero chain parity FAILED: {scores[0]} != {want}"
+            )
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        CH.align_chain(trips, scoring)  # returns host ints: fully synced
+        best = min(best, time.perf_counter() - t0)
+    cells = sum(len(a) * len(b) * len(c) for a, b, c in trips)
+    return cells / best / 1e9, best / npack
 
 
 def bench_batch_mixed(n_triplets, scoring: Scoring = Scoring(),
@@ -266,19 +315,21 @@ def roofline(scoring: Scoring = Scoring(), measured_gcups: float = 0.0,
     }
 
 
-def parity_check(scoring: Scoring = Scoring()):
+def parity_check(scoring: Scoring = Scoring(), include_alt: bool = True):
     """Bit-exact score parity of the compiled kernels vs the NumPy oracle --
-    a bench run with wrong answers is void."""
+    a bench run with wrong answers is void.  ``include_alt=False`` skips
+    the alternate fixture (its different dims cost two extra kernel
+    compiles; bench.py skips it under a tight wall-clock budget)."""
     from trialign.golden import align_planes_numpy
     from trialign.kernels.blocked import align_blocked
     from trialign.kernels.wavefront import align_wavefront
     from trialign.io import load_alt_triplet, load_reference_triplet
 
+    fixtures = [("reference dat", load_reference_triplet())]
+    if include_alt:
+        fixtures.append(("alt fixture", load_alt_triplet()))
     want = None
-    for name, (a, b, c) in (
-        ("reference dat", load_reference_triplet()),
-        ("alt fixture", load_alt_triplet()),
-    ):
+    for name, (a, b, c) in fixtures:
         w = align_planes_numpy(a, b, c, scoring)
         got = align_wavefront(a, b, c, scoring)
         if got != w:

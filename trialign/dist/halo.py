@@ -40,27 +40,68 @@ def scaling_efficiency(n_jb: int, ndev: int) -> float:
     return n_jb / (n_jb + ndev - 1)
 
 
+def choose_halo_shape(la: int, lb: int, lc: int, ndev: int,
+                      vmem_budget: int = 13 * 2**20) -> Tuple[int, int, int]:
+    """Mesh-aware (hb, wc, unb) for the halo mode (round-2 VERDICT item 6).
+
+    choose_block_shape optimizes single-chip plane-work and knows nothing
+    about the stripe count, so its wide-wc picks leave n_kb << ndev and
+    the k-padding (n_kb rounds up to a multiple of ndev) computes mostly
+    dead lanes.  This planner minimizes modeled WALL-CLOCK of the
+    ndev-stripe pipeline instead: (n_jb + ndev - 1) pipeline steps, each
+    sweeping n_kb_padded / ndev local block columns -- so it shrinks wc
+    until the column count lands on (a multiple of) the stripe count and
+    shrinks hb to deepen the row pipeline, whenever that wins."""
+    best = None
+    lab = BK._round_up(max(la, 16), 16)
+    EFF = {128: 2.00, 256: 1.08, 384: 1.00, 512: 1.00}
+    for unb in (8, 16, 24):
+        fixed = 20000 * 8 // unb
+        # hb from 16 (vs the single-chip planner's 128): small problems
+        # need many block rows to fill an ndev-deep pipeline.
+        for hb in range(16, 513, 8):
+            for wc in (128, 256, 384, 512):
+                tb, tc = hb - 1, wc - 1
+                hbp = BK._round_up(hb, 128)
+                n_jb = max(1, -(-lb // tb))
+                n_kb = -(-max(1, -(-lc // tc)) // ndev) * ndev
+                qqb = BK._round_up(lab + tb + tc, unb)
+                vmem = ((16 + 2 * unb) * hb * wc + 2 * (hb + unb) * wc
+                        + 2 * 8 * unb * (2 * wc + 2 * hbp + hb)) * 4
+                if vmem > vmem_budget:
+                    continue
+                wall = ((n_jb + ndev - 1) * (n_kb // ndev) * qqb
+                        * (hb * wc * EFF[wc] + fixed))
+                if best is None or wall < best[0]:
+                    best = (wall, hb, wc, unb)
+    if best is None:
+        return (BK.DEF_HB, BK.DEF_WC, BK.DEF_UNB)
+    return (best[1], best[2], best[3])
+
+
 def halo_efficiency(la: int, lb: int, lc: int, ndev: int,
                     block_shape: Optional[Tuple[int, int]] = None) -> dict:
     """Efficiency model of a halo-sharded run, INCLUDING the k-padding loss
     from rounding the block-column count up to a multiple of the stripe
-    count (_plan pads n_kb to ndev, so 8 devices on a modest |C| compute
-    mostly padding -- this quantifies it).
+    count and the partial fill of the last real row/column of blocks.
 
-    Returns {'pipeline', 'k_fill', 'total'}; 'total' is the fraction of
-    ndev-chip peak the partitioning can reach."""
+    Returns {'pipeline', 'j_fill', 'k_fill', 'total'}; 'total' is the
+    fraction of ndev-chip peak the partitioning can reach.  With no
+    explicit block_shape the mesh-aware planner's choice is modeled."""
     if block_shape:
         hb, wc = block_shape[0], block_shape[1]
         unb = block_shape[2] if len(block_shape) > 2 else BK.DEF_UNB
     else:
-        hb, wc, unb = BK.choose_block_shape(la, lb, lc)
+        hb, wc, unb = choose_halo_shape(la, lb, lc, ndev)
     tb, tc = hb - 1, wc - 1
     n_jb = max(1, -(-lb // tb))
     n_kb_real = max(1, -(-lc // tc))
     n_kb_padded = -(-n_kb_real // ndev) * ndev
     pipe = scaling_efficiency(n_jb, ndev)
-    k_fill = n_kb_real / n_kb_padded
-    return {"pipeline": pipe, "k_fill": k_fill, "total": pipe * k_fill}
+    j_fill = lb / (n_jb * tb)
+    k_fill = lc / (n_kb_padded * tc)
+    return {"pipeline": pipe, "j_fill": j_fill, "k_fill": k_fill,
+            "total": pipe * j_fill * k_fill}
 
 
 def _plan(la, lb, lc, ndev, hb, wc, unb):
@@ -191,7 +232,7 @@ def align_sharded_triplet(
         hb, wc = block_shape[0], block_shape[1]
         unb = block_shape[2] if len(block_shape) > 2 else BK.DEF_UNB
     else:
-        hb, wc, unb = BK.choose_block_shape(la, lb, lc)
+        hb, wc, unb = choose_halo_shape(la, lb, lc, ndev)
     dims, n_kb_local = _plan(la, lb, lc, ndev, hb, wc, unb)
     _, _, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims
 
