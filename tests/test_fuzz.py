@@ -73,10 +73,36 @@ def test_api_score_bits_routing(rng):
 
     a, b, c = random_triplet(rng, 10, 10, 10)
     want = align_planes_numpy(a, b, c, score_bits=12)
-    res = align(a, b, c, score_bits=12)  # auto -> xla in bit-parity mode
-    assert res.score == want and res.backend == "xla"
+    res = align(a, b, c, score_bits=12)  # auto -> a wrap-capable backend
+    assert res.score == want and res.backend in (
+        "xla", "pallas", "pallas_interpret"
+    )
     with pytest.raises(ValueError, match="score_bits"):
-        align(a, b, c, backend="pallas", score_bits=12)
+        align(a, b, c, backend="blocked", score_bits=12)
+
+
+def test_fuzz_score_bits_pallas_matches_golden(rng):
+    """RTL bit-parity mode on the PRODUCTION Pallas wavefront backend
+    (round-2 VERDICT item 8): wrapped stored registers, carried max7 from
+    wrapped planes, bit-exact vs the golden emulation including real
+    overflow."""
+    from trialign.kernels.wavefront import align_wavefront
+
+    for trial in range(12):
+        la, lb, lc = (int(x) for x in rng.integers(4, 28, size=3))
+        a, b, c = random_triplet(rng, la, lb, lc, nsym=int(rng.integers(2, 5)))
+        sc = SCORINGS[trial % len(SCORINGS)]
+        for bits in (6, 12):
+            want = align_planes_numpy(a, b, c, sc, score_bits=bits)
+            got = align_wavefront(a, b, c, sc, score_bits=bits)
+            assert got == want, (trial, bits, got, want)
+    # Real 6-bit overflow: wrapped result must match golden AND differ
+    # from the clean score.
+    seq = np.full(30, 2, np.uint8)
+    clean = align_planes_numpy(seq, seq, seq)
+    wrapped = align_planes_numpy(seq, seq, seq, score_bits=6)
+    assert align_wavefront(seq, seq, seq, score_bits=6) == wrapped
+    assert wrapped != clean
 
 
 @pytest.mark.slow

@@ -79,7 +79,8 @@ def align(
     ``score_bits`` nonzero selects RTL bit-parity mode (stored scores wrap
     as signed score_bits-wide registers, the hardware's unsaturated
     SCORE_BITS=12 behavior; reference: src/TriAlign_1cyc.v:6).  Supported
-    by the "golden" and "xla" backends; "auto" then picks "xla".
+    by the "golden", "xla" and "pallas" backends; "auto" picks "pallas"
+    on TPU for in-capacity problems, else "xla".
     """
     import time
 
@@ -92,11 +93,13 @@ def align(
         if return_alignment:
             raise ValueError("score_bits mode is score-only (no traceback)")
         if backend == "auto":
-            backend = "xla"
-        if backend not in ("golden", "xla"):
+            backend = _pick_backend(la, lb, lc)
+            if backend not in ("pallas", "pallas_interpret"):
+                backend = "xla"
+        if backend not in ("golden", "xla", "pallas", "pallas_interpret"):
             raise ValueError(
-                f"score_bits wraparound is implemented by the 'golden' and "
-                f"'xla' backends, not {backend!r}"
+                f"score_bits wraparound is implemented by the 'golden', "
+                f"'xla' and 'pallas' backends, not {backend!r}"
             )
 
     if return_alignment:
@@ -131,7 +134,8 @@ def align(
         from trialign.kernels.wavefront import align_wavefront
 
         score = align_wavefront(
-            a, b, c, scoring, interpret=(backend == "pallas_interpret")
+            a, b, c, scoring, interpret=(backend == "pallas_interpret"),
+            score_bits=score_bits,
         )
     elif backend == "blocked":
         from trialign.kernels.blocked import align_blocked

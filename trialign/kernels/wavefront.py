@@ -96,7 +96,8 @@ def score_dtype(scoring: Scoring, qmax: int):
 ENABLE_INT16 = False
 
 
-def _make_kernel(lab: int, hb: int, wc: int, scoring: Scoring):
+def _make_kernel(lab: int, hb: int, wc: int, scoring: Scoring,
+                 score_bits: int = 0):
     w = scoring.weight_matrix()
     groups = transition_groups(w)
     sop = scoring.s3_mode == "sop"
@@ -183,6 +184,19 @@ def _make_kernel(lab: int, hb: int, wc: int, scoring: Scoring):
             cands, m7p1 = fused_plane_update_m7(
                 p1, p2, m7p3, subs, groups, jnp.maximum, roll1
             )
+            if score_bits:
+                # RTL bit-parity mode: every stored value wraps to a
+                # signed score_bits-wide register (the hardware's
+                # unsaturated SCORE_BITS=12 registers, reference:
+                # src/TriAlign_1cyc.v:6; PARITY.md quirk 3).  Wrap BEFORE
+                # the border mask, matching the golden emulation; the
+                # carried max7 then derives from wrapped stored planes,
+                # exactly the RTL's combinational MAX7 over its wrapped
+                # registers.  Power-of-two mod via bitwise AND (two's
+                # complement makes it exact for negatives).
+                half = dtype(1 << (score_bits - 1))
+                lowmask = dtype((1 << score_bits) - 1)
+                cands = tuple(((c + half) & lowmask) - half for c in cands)
             new = tuple(jnp.where(valid, cand, zero) for cand in cands)
 
             # Capture the answer as the sweep passes plane qmax.  (The loop
@@ -259,22 +273,26 @@ def _build_planes(a_ext, b_full, c_full, lab, hb, wc):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("lab", "hb", "wc", "scoring", "interpret")
+    jax.jit,
+    static_argnames=("lab", "hb", "wc", "scoring", "interpret", "score_bits"),
 )
-def _run_compact(lens, a_ext, b_full, c_full, lab, hb, wc, scoring, interpret):
+def _run_compact(lens, a_ext, b_full, c_full, lab, hb, wc, scoring, interpret,
+                 score_bits=0):
     """Compact-input entry: device-side prep fused with the kernel call."""
     askew, bp, cp = _build_planes(a_ext, b_full, c_full, lab, hb, wc)
-    return _run(lens, askew, bp, cp, lab, hb, wc, scoring, interpret)
+    return _run(lens, askew, bp, cp, lab, hb, wc, scoring, interpret,
+                score_bits)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("lab", "hb", "wc", "scoring", "interpret")
+    jax.jit,
+    static_argnames=("lab", "hb", "wc", "scoring", "interpret", "score_bits"),
 )
-def _run(lens, askew, bp, cp, lab, hb, wc, scoring, interpret):
+def _run(lens, askew, bp, cp, lab, hb, wc, scoring, interpret, score_bits=0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    kernel, qq, dtype = _make_kernel(lab, hb, wc, scoring)
+    kernel, qq, dtype = _make_kernel(lab, hb, wc, scoring, score_bits)
     # Symbol planes travel in the score dtype so every in-kernel compare
     # produces masks in that dtype's native tile layout.
     askew = askew.astype(dtype)
@@ -318,9 +336,13 @@ def prepare_compact(a, b, c, lab, hb, wc):
 
 
 def align_wavefront(
-    a, b, c, scoring: Scoring = Scoring(), interpret: bool | None = None
+    a, b, c, scoring: Scoring = Scoring(), interpret: bool | None = None,
+    score_bits: int = 0,
 ) -> int:
-    """Optimal 3-sequence alignment score via the single-block Pallas kernel."""
+    """Optimal 3-sequence alignment score via the single-block Pallas kernel.
+
+    ``score_bits`` nonzero selects RTL bit-parity mode: stored values wrap
+    as signed score_bits-wide registers (src/TriAlign_1cyc.v:6)."""
     a = np.asarray(a)
     b = np.asarray(b)
     c = np.asarray(c)
@@ -341,5 +363,6 @@ def align_wavefront(
         wc,
         scoring,
         interpret,
+        score_bits,
     )
     return int(jax.device_get(out)[:NUM_MATRICES, 0].max())
