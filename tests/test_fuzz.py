@@ -120,3 +120,54 @@ def test_fuzz_traceback_20_cases(rng):
         assert rescore_alignment(rows, sc) == want, trial
         for row, seq in zip(rows, (a, b, c)):
             assert [v for v in row if v != -1] == list(map(int, seq))
+
+
+def test_submatrix_scoring_golden_vs_xla(rng):
+    """Runtime 4x4 substitution matrix (the testbench's planned-never-
+    wired score-matrix ports, src/TriAlign_tb.sv:220-224,280-290): the
+    brute force, the golden plane sweep and the compiled XLA backend must
+    agree on random matrices; a matrix that replicates match/mismatch
+    equality must reproduce default scoring exactly."""
+    from trialign.golden import align_bruteforce
+    from trialign.kernels.xla_ref import align_xla
+
+    for trial in range(6):
+        m = rng.integers(-4, 5, size=(4, 4))
+        m = ((m + m.T) // 2).astype(int)  # symmetric, like real sub matrices
+        sub = tuple(tuple(int(v) for v in row) for row in m)
+        sc = Scoring(submatrix=sub)
+        la, lb, lc = (int(x) for x in rng.integers(2, 14, size=3))
+        a, b, c = random_triplet(rng, la, lb, lc)
+        want = align_planes_numpy(a, b, c, sc)
+        assert align_bruteforce(a, b, c, sc) == want, trial
+        assert align_xla(a, b, c, sc) == want, trial
+
+    # Degenerate matrix == equality scoring.
+    eye = tuple(
+        tuple(1 if i == j else -1 for j in range(4)) for i in range(4)
+    )
+    a, b, c = random_triplet(rng, 10, 11, 9)
+    assert align_planes_numpy(a, b, c, Scoring(submatrix=eye)) == \
+        align_planes_numpy(a, b, c, Scoring())
+    assert align_xla(a, b, c, Scoring(submatrix=eye)) == \
+        align_xla(a, b, c, Scoring())
+
+
+def test_submatrix_validation_and_routing(rng):
+    from trialign.api import align
+    from trialign.kernels.wavefront import align_wavefront
+
+    sub = ((2, -1), (-1, 2))
+    with pytest.raises(ValueError, match="sop"):
+        Scoring(submatrix=sub, s3_mode="rtl")
+    with pytest.raises(ValueError, match="square"):
+        Scoring(submatrix=((1, 2), (3,)))
+    a, b, c = random_triplet(rng, 6, 7, 5, nsym=2)
+    sc = Scoring(submatrix=sub)
+    res = align(a, b, c, sc)  # auto -> xla
+    assert res.backend == "xla"
+    assert res.score == align_planes_numpy(a, b, c, sc)
+    with pytest.raises(ValueError, match="submatrix"):
+        align(a, b, c, sc, backend="pallas")
+    with pytest.raises(ValueError, match="submatrix"):
+        align_wavefront(a, b, c, sc)

@@ -118,6 +118,17 @@ def align(
             seconds=time.perf_counter() - t0,
         )
 
+    if scoring.submatrix is not None:
+        # Runtime substitution-matrix scoring runs on the golden/xla
+        # backends (the reference testbench's planned 4x4 score ports,
+        # src/TriAlign_tb.sv:220-224,280-290).
+        if backend == "auto":
+            backend = "xla"
+        if backend not in ("golden", "xla"):
+            raise ValueError(
+                f"submatrix scoring is implemented by the 'golden' and "
+                f"'xla' backends, not {backend!r}"
+            )
     if backend == "auto":
         backend = _pick_backend(la, lb, lc)
 
@@ -175,6 +186,23 @@ def align_batch(
 
     t0 = time.perf_counter()
     arrs = [(_prep(a), _prep(b), _prep(c)) for a, b, c in triplets]
+    if scoring.submatrix is not None:
+        # Substitution-matrix scoring: per-item XLA sweeps (no batched
+        # kernel path yet; one compile per distinct shape).
+        from trialign.kernels.xla_ref import align_xla
+
+        scores = [
+            align_xla(a, b, c, scoring) if min(len(a), len(b), len(c)) else 0
+            for a, b, c in arrs
+        ]
+        dt = time.perf_counter() - t0
+        total_cells = sum(len(a) * len(b) * len(c) for a, b, c in arrs) or 1
+        return [
+            AlignResult(score=int(s), backend="xla",
+                        cells=len(a) * len(b) * len(c),
+                        seconds=dt * len(a) * len(b) * len(c) / total_cells)
+            for (a, b, c), s in zip(arrs, scores)
+        ]
     # Large batches run through mosaic tiling (many problems fused per
     # sweep, one kernel compile); small ones through the padded vmap path
     # whose compiles are cheap and shapes tight.  Mosaic only pays off on

@@ -59,6 +59,19 @@ def _load_triplet(args):
     )
 
 
+def _parse_submatrix(spec):
+    """'1,-1,-1,-1,-1,1,...' (n*n comma values, row-major) -> nested tuple."""
+    if not spec:
+        return None
+    vals = [int(v) for v in spec.replace(" ", "").split(",") if v != ""]
+    n = int(len(vals) ** 0.5)
+    if n * n != len(vals):
+        raise SystemExit(
+            f"--submatrix needs a square count of values (got {len(vals)})"
+        )
+    return tuple(tuple(vals[i * n : (i + 1) * n]) for i in range(n))
+
+
 def _scoring(args) -> Scoring:
     return Scoring(
         match=args.match,
@@ -66,6 +79,7 @@ def _scoring(args) -> Scoring:
         gap_open=args.gap_open,
         gap_extend=args.gap_extend,
         s3_mode=args.s3_mode,
+        submatrix=_parse_submatrix(getattr(args, "submatrix", None)),
     )
 
 
@@ -75,6 +89,12 @@ def _add_scoring_args(p):
     p.add_argument("--gap-open", type=int, default=2)
     p.add_argument("--gap-extend", type=int, default=1)
     p.add_argument("--s3-mode", choices=["sop", "rtl"], default="sop")
+    p.add_argument(
+        "--submatrix", default=None, metavar="V1,V2,...",
+        help="runtime substitution matrix: n*n comma-separated ints, "
+        "row-major (symbol codes 0..n-1); requires --s3-mode sop "
+        "(the reference testbench's planned 4x4 score-matrix ports)",
+    )
 
 
 def cmd_align(args) -> int:

@@ -84,6 +84,16 @@ class Scoring:
     Borders: all seven matrices are 0 on the i=0, j=0, k=0 faces, matching
     the RTL's zero-emitting border muxes (reference: src/TriAlign_1cyc.v:157-181
     and the EN_i&&!EN first-column case in src/PE_1cyc.v:164-218).
+
+    ``submatrix``: optional runtime substitution matrix -- a square tuple
+    of tuples where submatrix[x][y] is the pairwise score S(x, y) for
+    symbol codes x, y (the reference testbench PLANNED this as its
+    commented 4x4 score-matrix ports but never wired it upstream,
+    src/TriAlign_tb.sv:220-224,280-290).  Requires s3_mode="sop" (the rtl
+    quirk function is defined by symbol equality, not scores); supported
+    by the "golden" and "xla" backends.  Symbols outside the matrix
+    (sequence padding) score the matrix minimum, clamped <= -1, so padded
+    cells keep decaying and never leak into valid ones.
     """
 
     match: int = 1
@@ -91,10 +101,44 @@ class Scoring:
     gap_open: int = 2
     gap_extend: int = 1
     s3_mode: str = "sop"
+    submatrix: Tuple[Tuple[int, ...], ...] | None = None
 
     def __post_init__(self):
         if self.s3_mode not in ("sop", "rtl"):
             raise ValueError(f"s3_mode must be 'sop' or 'rtl', got {self.s3_mode!r}")
+        if self.submatrix is not None:
+            if self.s3_mode != "sop":
+                raise ValueError(
+                    "submatrix scoring requires s3_mode='sop' (the rtl "
+                    "quirk S3 is defined by symbol equality)"
+                )
+            n = len(self.submatrix)
+            if not (1 <= n <= 16) or any(len(r) != n for r in self.submatrix):
+                raise ValueError(
+                    f"submatrix must be a square tuple of tuples, <= 16 "
+                    f"symbols; got rows {[len(r) for r in self.submatrix]}"
+                )
+            # frozen dataclass: normalize via object.__setattr__
+            object.__setattr__(
+                self,
+                "submatrix",
+                tuple(tuple(int(v) for v in row) for row in self.submatrix),
+            )
+
+    def sub_lookup(self) -> np.ndarray:
+        """(256, 256) int32 pairwise-score lookup over full symbol space.
+
+        In-alphabet pairs read ``submatrix``; any pair touching an
+        out-of-alphabet code (PAD_SYMBOL and friends) scores
+        min(matrix minimum, -1) so garbage cells stay bounded exactly as
+        the equality scheme's always-mismatching pads do."""
+        assert self.submatrix is not None
+        m = np.asarray(self.submatrix, dtype=np.int32)
+        floor = min(int(m.min()), -1)
+        lut = np.full((256, 256), floor, dtype=np.int32)
+        n = m.shape[0]
+        lut[:n, :n] = m
+        return lut
 
     # ------------------------------------------------------------------
     # Derived tables (NumPy; backends convert as needed).
@@ -120,6 +164,12 @@ class Scoring:
 
     def pair_score(self, x, y):
         """Elementwise pairwise substitution score S(x, y); works on arrays."""
+        if self.submatrix is not None:
+            lut = self.sub_lookup()
+            return lut[
+                np.asarray(x, dtype=np.int64) & 0xFF,
+                np.asarray(y, dtype=np.int64) & 0xFF,
+            ]
         return np.where(np.asarray(x) == np.asarray(y), self.match, self.mismatch).astype(
             np.int32
         )
@@ -150,6 +200,8 @@ class Scoring:
 
     def max_cell_delta(self) -> int:
         """Upper bound on per-step score increase (for overflow analysis)."""
+        if self.submatrix is not None:
+            return 3 * max(abs(v) for row in self.submatrix for v in row)
         return 3 * abs(self.match)
 
 

@@ -57,11 +57,11 @@ def align_bruteforce(a, b, c, scoring: Scoring = Scoring(), return_cuboid: bool 
         if ca and cb and cc:
             return int(scoring.triple_score(a[i - 1], b[j - 1], c[k - 1]))
         if ca and cb:
-            s = scoring.match if a[i - 1] == b[j - 1] else scoring.mismatch
+            s = int(scoring.pair_score(a[i - 1], b[j - 1]))
         elif cb and cc:
-            s = scoring.match if b[j - 1] == c[k - 1] else scoring.mismatch
+            s = int(scoring.pair_score(b[j - 1], c[k - 1]))
         elif ca and cc:
-            s = scoring.match if a[i - 1] == c[k - 1] else scoring.mismatch
+            s = int(scoring.pair_score(a[i - 1], c[k - 1]))
         return s
 
     for i in range(1, la + 1):

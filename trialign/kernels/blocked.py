@@ -1037,6 +1037,8 @@ def align_blocked(
 
     Handles |B|, |C| beyond the single-block kernel's 255 limit; |A| is
     bounded by the skewed symbol buffer (~8k with int32 planes)."""
+    if scoring.submatrix is not None:
+        raise ValueError("submatrix scoring: use the 'golden'/'xla' backends")
     a = np.asarray(a)
     b = np.asarray(b)
     c = np.asarray(c)

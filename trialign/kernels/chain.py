@@ -247,6 +247,8 @@ def align_chain(
     Constraint (packer-enforced; asserted): the (lb, lc) pairs must map to
     distinct final cells per block.  Use align_batch_chained for arbitrary
     batches -- it buckets, packs and dispatches chains automatically."""
+    if scoring.submatrix is not None:
+        raise ValueError("submatrix scoring: use the 'golden'/'xla' backends")
     triplets = [tuple(np.asarray(s) for s in t) for t in triplets]
     if not triplets:
         return []

@@ -273,6 +273,8 @@ def align_batch_mosaic(
     Problems beyond the canvas (|B| + 2 > HB or |C| + 2 > WC after
     rotation) or with empty sequences route to the tall-class/blocked/zero
     paths."""
+    if scoring.submatrix is not None:
+        raise ValueError("submatrix scoring: use the 'golden'/'xla' backends")
     triplets = [tuple(np.asarray(s) for s in t) for t in triplets]
     sop = scoring.s3_mode == "sop"
     out = [0] * len(triplets)

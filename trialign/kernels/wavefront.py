@@ -343,6 +343,8 @@ def align_wavefront(
 
     ``score_bits`` nonzero selects RTL bit-parity mode: stored values wrap
     as signed score_bits-wide registers (src/TriAlign_1cyc.v:6)."""
+    if scoring.submatrix is not None:
+        raise ValueError("submatrix scoring: use the 'golden'/'xla' backends")
     a = np.asarray(a)
     b = np.asarray(b)
     c = np.asarray(c)

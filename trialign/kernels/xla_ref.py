@@ -57,8 +57,19 @@ def _sweep(a_ext, b_col, c_row, la, lb, lc, scoring: Scoring, score_bits: int = 
     k_grid = jnp.arange(wc, dtype=jnp.int32)[None, :]
     jk = j_grid + k_grid
 
-    def pair(x, y):
-        return jnp.where(x == y, match, mismatch)
+    if scoring.submatrix is not None:
+        # Runtime substitution matrix (the testbench's planned-never-wired
+        # 4x4 score ports, src/TriAlign_tb.sv:220-224,280-290): a (256,256)
+        # lookup covering pad codes with the clamped matrix minimum.
+        lut = jnp.asarray(scoring.sub_lookup())
+
+        def pair(x, y):
+            xb = jnp.broadcast_to(x, jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y)))
+            yb = jnp.broadcast_to(y, xb.shape)
+            return lut[xb & 0xFF, yb & 0xFF]
+    else:
+        def pair(x, y):
+            return jnp.where(x == y, match, mismatch)
 
     s_bc = pair(jnp.broadcast_to(b_col, (hb, wc)), jnp.broadcast_to(c_row, (hb, wc)))
 

@@ -95,6 +95,8 @@ def _ptr(arr: np.ndarray):
 
 def score_native(a, b, c, scoring: Scoring = Scoring()) -> int:
     """Optimal score via the C++ engine."""
+    if scoring.submatrix is not None:
+        raise ValueError("submatrix scoring: use the 'golden'/'xla' backends")
     lib = _load()
     a = np.ascontiguousarray(a, dtype=np.uint8)
     b = np.ascontiguousarray(b, dtype=np.uint8)
