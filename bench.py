@@ -6,45 +6,45 @@ Prints an incrementally-enriched JSON result line to stdout: a valid
 line lands right after the FIRST measured stage and is re-printed with
 more fields after every later stage -- the LAST line is the complete
 result, but any line is a valid one (round-2 lesson: an all-or-nothing
-bench that exceeds the harness budget reports nothing,
-BENCH_r02.json rc=124).
+bench that exceeds the harness budget reports nothing, BENCH_r02.json
+rc=124).
 
-Robustness contract:
-* stages run fastest-compile-first, highest-value-first;
-* a global wall-clock budget (TRIALIGN_BENCH_BUDGET_S, default 1400 s)
-  spans crash re-execs; a stage is skipped when its worst-case estimate
-  does not fit in the remaining budget;
-* each stage is failure-isolated (one bad stage does not void the rest);
-* a TPU-worker crash ("UNAVAILABLE") persists completed results to
-  bench_state.json, sleeps briefly and re-execs, resuming AFTER the
-  completed stages;
-* stderr is teed to bench_err.log for post-mortems.
+Architecture: the parent process (no JAX) orchestrates; every stage runs
+in its OWN subprocess (`python bench.py --stage NAME`) with a hard
+timeout.  Rationale, all measured on this environment:
+* the remote compile service is wildly variable (the same stage compiled
+  in 16 s and in 19 min on the same day) -- a bounded stage can be killed
+  and the rest of the bench still reports;
+* the TPU worker nondeterministically crashes under sustained load and a
+  hung device_get is not interruptible in-process;
+* the JAX compilation cache does not hit across processes here anyway,
+  so per-stage processes lose nothing.
+
+A global wall-clock budget (TRIALIGN_BENCH_BUDGET_S, default 1400 s)
+gates stages by worst-case estimate; stages run fastest-first,
+highest-value-first.  Stage stderr is teed to bench_err.log.
 
 The headline metric is DP cell-updates/s on one chip at 1k^3 via the
-blocked (sliced) sweep -- BASELINE.md's north-star shape (1 cell-update
-= one (i,j,k) lattice site across all 7 matrices, the reference's unit,
+blocked (sliced) sweep -- BASELINE.md's north-star shape (1 cell-update =
+one (i,j,k) lattice site across all 7 matrices, the reference's unit,
 pic/Result.png).  vs_baseline is the ratio to the reference ASIC's
 12.4 GCUPS at 512^3.  Parity for the headline stage is checked against
-the independent C++ oracle on the very sequences measured (computed on a
-host thread while the TPU compiles); the fixture stage re-checks both
-compiled kernels against the NumPy golden model on the reference's dat
-vectors.
+the independent C++ oracle on the very sequences measured; the fixture
+stage re-checks the compiled kernels against the NumPy golden model on
+the reference's dat vectors.
 
 Measurement discipline lives in trialign/benchmarks.py (device_get sync,
-distinct chained inputs, min-of-trials).
+distinct chained inputs via lax.scan, min-of-trials).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
-import traceback
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-STATE_FILE = os.path.join(HERE, "bench_state.json")
 ERR_LOG = os.path.join(HERE, "bench_err.log")
-MAX_RETRIES = 2
-RETRY_SLEEP_S = 60.0
 
 _err_fh = None
 
@@ -55,57 +55,230 @@ def log(msg):
     try:
         if _err_fh is None:
             _err_fh = open(ERR_LOG, "a")
-        _err_fh.write(msg + "\n")
+        _err_fh.write(msg if msg.endswith("\n") else msg + "\n")
         _err_fh.flush()
     except OSError:
         pass
 
 
-class Runner:
-    """Stage sequencer: budget gate, failure isolation, incremental emit,
-    crash-resume via bench_state.json."""
+# ----------------------------------------------------------------------
+# Stage implementations (run inside per-stage subprocesses).
+# Each returns a dict of result fields.
+# ----------------------------------------------------------------------
 
+def _native_oracle():
+    try:
+        from trialign.native import score_native
+
+        return score_native
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def stage_probe():
+    import jax
+
+    return {"backend": jax.default_backend(),
+            "devices": str(jax.devices())}
+
+
+def stage_cpu_smoke():
+    import numpy as np
+
+    from trialign import benchmarks as B
+    from trialign.config import Scoring
+    from trialign.golden import align_planes_numpy
+    from trialign.kernels.wavefront import align_wavefront
+
+    scoring = Scoring()
+    rng = np.random.default_rng(1)
+    a, b, c = (rng.integers(0, 4, 12).astype(np.uint8) for _ in range(3))
+    got = align_wavefront(a, b, c, scoring, interpret=True)
+    want = align_planes_numpy(a, b, c, scoring)
+    if got != want:
+        raise AssertionError(f"CPU parity FAILED: {got} != {want}")
+    g, dt = B.bench_single_stream(32, 2, scoring)
+    log(f"single-stream 32^3 (CPU smoke): {dt*1e3:.2f} ms")
+    return {"cpu_smoke_gcups": g, "parity": "exact"}
+
+
+def stage_blocked_1k():
+    """Headline 1k^3 + parity vs the C++ oracle on the measured inputs."""
+    from trialign import benchmarks as B
+    from trialign.config import Scoring
+
+    g, dt, score0, trip0 = B.bench_blocked(
+        1024, 4, Scoring(), return_score0=True
+    )
+    log(f"blocked 1k^3: {dt*1e3:.1f} ms/alignment -> {g:.2f} GCUPS")
+    out = {"blocked_1024_gcups": round(g, 3),
+           "blocked_1024_ms": round(dt * 1e3, 1)}
+    oracle = _native_oracle()
+    if oracle is not None:
+        want = oracle(*trip0)
+        if score0 != want:
+            raise AssertionError(
+                f"1k^3 parity vs C++ oracle FAILED: {score0} != {want}"
+            )
+        out["parity"] = "exact"
+        log(f"parity OK at 1k^3 vs independent C++ oracle ({score0})")
+    return out
+
+
+def stage_parity_fixtures():
+    from trialign import benchmarks as B
+    from trialign.config import Scoring
+
+    score = B.parity_check(Scoring(), include_alt=False)
+    log(f"parity OK on the reference dat 64-triplet (score {score}, "
+        "wavefront + blocked)")
+    return {"parity": "exact", "reference_dat_score": int(score)}
+
+
+def stage_single_512():
+    """The ASIC's own protocol: ONE 512^3 alignment including ramp
+    (pic/Result.png Table III: 10.82 ms)."""
+    from trialign import benchmarks as B
+    from trialign.config import Scoring
+
+    g, dt = B.bench_blocked(512, 8, Scoring())
+    log(f"blocked 512^3 single-stream: {dt*1e3:.2f} ms -> {g:.2f} GCUPS "
+        "(ASIC: 10.82 ms)")
+    return {"blocked_512_single_ms": round(dt * 1e3, 2),
+            "blocked_512_single_gcups": round(g, 3)}
+
+
+def stage_chain_512():
+    from trialign import benchmarks as B
+    from trialign.config import Scoring
+
+    g, dt = B.bench_blocked_chain(512, 16, Scoring())
+    log(f"blocked 512^3 chained x16 (shared-B/C back-to-back): "
+        f"{dt*1e3:.2f} ms/alignment -> {g:.2f} GCUPS")
+    return {"blocked_512_ms": round(dt * 1e3, 2),
+            "blocked_512_gcups": round(g, 3)}
+
+
+def stage_hetero_512():
+    """The honest back-to-back: 16 fully DISTINCT ~512^3 triplets through
+    the hetero chain (round-2 VERDICT item 4)."""
+    from trialign import benchmarks as B
+    from trialign.config import Scoring
+
+    g, dt = B.bench_hetero_chain(512, 16, Scoring(),
+                                 parity_oracle=_native_oracle())
+    log(f"hetero 512^3 chained x16 (distinct triplets): "
+        f"{dt*1e3:.2f} ms/alignment -> {g:.2f} GCUPS")
+    return {"hetero_512_ms": round(dt * 1e3, 2),
+            "hetero_512_gcups": round(g, 3)}
+
+
+def stage_batch_mixed():
+    from trialign import benchmarks as B
+    from trialign.config import Scoring
+
+    g, s, tps = B.bench_batch_mixed(1024, Scoring())
+    log(f"batch 1024 triplets len 128-512 end-to-end: {s:.2f} s -> "
+        f"{g:.2f} GCUPS aggregate, {tps:.0f} triplets/s (parity "
+        "spot-checked)")
+    return {"batch_mixed_1024_gcups": round(g, 3),
+            "batch_mixed_1024_triplets_per_s": round(tps, 1)}
+
+
+def stage_blocked_2k():
+    from trialign import benchmarks as B
+    from trialign.config import Scoring
+
+    g, dt = B.bench_blocked(2048, 2, Scoring())
+    log(f"blocked 2048^3: {dt*1e3:.1f} ms -> {g:.2f} GCUPS")
+    return {"blocked_2048_gcups": round(g, 3)}
+
+
+def stage_chain_1k():
+    from trialign import benchmarks as B
+    from trialign.config import Scoring
+
+    g, dt = B.bench_blocked_chain(1024, 8, Scoring(), (520, 384, 16))
+    log(f"blocked 1k^3 chained x8 (back-to-back): {dt*1e3:.1f} "
+        f"ms/alignment -> {g:.2f} GCUPS")
+    return {"blocked_1024_chained_gcups": round(g, 3),
+            "blocked_1024_chained_ms": round(dt * 1e3, 1)}
+
+
+def stage_roofline():
+    from trialign import benchmarks as B
+    from trialign.config import Scoring
+
+    rf = B.roofline(Scoring())
+    log(f"roofline: anchor {rf['vpu_element_ops_per_s']/1e12:.2f} T "
+        f"elem-ops/s (live micro {rf['vpu_micro_measured']/1e12:.2f} T) / "
+        f"{rf['ops_per_cell']} ops/cell -> ceiling "
+        f"{rf['roofline_gcups']} GCUPS")
+    return {"roofline_gcups": rf["roofline_gcups"],
+            "ops_per_cell": rf["ops_per_cell"]}
+
+
+def stage_single_stream_255():
+    from trialign import benchmarks as B
+    from trialign.config import Scoring
+
+    g, dt = B.bench_single_stream(255, 16, Scoring())
+    log(f"single-stream 255^3: {dt*1e3:.2f} ms -> {g:.2f} GCUPS")
+    return {"single_stream_255_gcups": round(g, 3)}
+
+
+STAGE_FNS = {
+    "probe": stage_probe,
+    "cpu_smoke": stage_cpu_smoke,
+    "blocked_1k": stage_blocked_1k,
+    "parity_fixtures": stage_parity_fixtures,
+    "single_512": stage_single_512,
+    "chain_512": stage_chain_512,
+    "hetero_512": stage_hetero_512,
+    "batch_mixed": stage_batch_mixed,
+    "blocked_2k": stage_blocked_2k,
+    "chain_1k": stage_chain_1k,
+    "roofline": stage_roofline,
+    "single_stream_255": stage_single_stream_255,
+}
+
+# (name, worst-case seconds) in execution order: fastest-compile-first,
+# highest-value-first.  Estimates include a pathological-compile margin;
+# the per-stage timeout is larger still (see _stage_timeout).
+TPU_STAGES = [
+    ("blocked_1k", 400),
+    ("parity_fixtures", 150),
+    ("single_512", 200),
+    ("chain_512", 420),
+    ("hetero_512", 420),
+    ("batch_mixed", 430),
+    ("roofline", 90),
+    ("blocked_2k", 320),
+    ("chain_1k", 420),
+    ("single_stream_255", 100),
+]
+
+
+# ----------------------------------------------------------------------
+# Parent orchestration.
+# ----------------------------------------------------------------------
+
+class Runner:
     def __init__(self):
-        self.retries = int(os.environ.get("TRIALIGN_BENCH_RETRY", "0"))
         self.budget = float(os.environ.get("TRIALIGN_BENCH_BUDGET_S", "1400"))
+        self.t0 = time.time()
         self.fields = {}
-        self.done = []
-        self.t_start = time.time()
-        if self.retries and os.path.exists(STATE_FILE):
-            try:
-                with open(STATE_FILE) as f:
-                    st = json.load(f)
-                self.fields = st.get("fields", {})
-                self.done = st.get("done", [])
-                self.t_start = st.get("t_start", self.t_start)
-                log(f"resumed after crash: done={self.done}")
-            except (OSError, ValueError):
-                pass
-        elif os.path.exists(STATE_FILE):
-            os.remove(STATE_FILE)  # fresh run
 
     def elapsed(self):
-        return time.time() - self.t_start
+        return time.time() - self.t0
 
     def remaining(self):
         return self.budget - self.elapsed()
 
-    def _persist(self):
-        try:
-            with open(STATE_FILE, "w") as f:
-                json.dump(
-                    {"t_start": self.t_start, "fields": self.fields,
-                     "done": self.done},
-                    f,
-                )
-        except OSError:
-            pass
-
     def emit(self):
-        """Print the current full JSON result line (last line wins)."""
-        f = self.fields
         from trialign.benchmarks import BASELINE_ASIC_GCUPS
 
+        f = self.fields
         if "blocked_1024_gcups" in f:
             metric = ("single-chip DP cell-updates/s at 1024^3 "
                       "(7-matrix cells, blocked Pallas sweep)")
@@ -114,7 +287,7 @@ class Runner:
             metric = "CPU-interpret smoke GCUPS at 32^3 (no TPU available)"
             value = f["cpu_smoke_gcups"]
         else:
-            return  # nothing measured yet
+            return
         result = {
             "metric": metric,
             "value": round(value, 3),
@@ -124,214 +297,107 @@ class Runner:
             "backend": f.get("backend", "?"),
         }
         for k, v in f.items():
-            if k not in ("parity", "backend", "cpu_smoke_gcups",
-                         "blocked_1024_gcups"):
+            if k not in result and k not in ("cpu_smoke_gcups",
+                                             "blocked_1024_gcups", "devices"):
                 result[k] = v
+        if "roofline_gcups" in f and "blocked_1024_gcups" in f:
+            result["roofline_fraction"] = round(
+                f["blocked_1024_gcups"] / f["roofline_gcups"], 3
+            )
         result["elapsed_s"] = round(self.elapsed(), 1)
         print(json.dumps(result), flush=True)
 
-    def stage(self, name, est_s, fn):
-        if name in self.done:
-            return
-        if self.elapsed() + est_s > self.budget:
-            log(f"[{name}] SKIPPED (needs ~{est_s:.0f}s, "
+    def _stage_timeout(self, est):
+        # Generous vs the estimate (pathological compiles), hard-capped by
+        # what is left of the global budget.
+        return max(60.0, min(self.remaining() - 15.0, max(3.0 * est, est + 240.0)))
+
+    def run_stage(self, name, est):
+        if self.elapsed() + est > self.budget:
+            log(f"[{name}] SKIPPED (needs ~{est:.0f}s, "
                 f"{self.remaining():.0f}s left of {self.budget:.0f})")
-            return
-        log(f"[{name}] start (elapsed {self.elapsed():.0f}s)")
+            return None
+        timeout = self._stage_timeout(est)
+        log(f"[{name}] start (elapsed {self.elapsed():.0f}s, "
+            f"timeout {timeout:.0f}s)")
+        t0 = time.time()
         try:
-            fn(self.fields)
-        except Exception as e:  # noqa: BLE001
-            msg = f"{type(e).__name__}: {e}"
-            if "UNAVAILABLE" in str(e) and self.retries < MAX_RETRIES:
-                # The remote TPU worker nondeterministically crashes under
-                # sustained load; a fresh process usually succeeds.
-                log(f"[{name}] TPU worker crashed ({msg[:200]}); "
-                    f"re-exec (retry {self.retries + 1}/{MAX_RETRIES})")
-                self._persist()
-                time.sleep(RETRY_SLEEP_S)
-                os.environ["TRIALIGN_BENCH_RETRY"] = str(self.retries + 1)
-                os.execv(sys.executable, [sys.executable] + sys.argv)
-            log(f"[{name}] FAILED ({msg[:400]}); continuing")
-            log(traceback.format_exc(limit=8))
-            self.done.append(name)  # don't re-run a deterministic failure
-            self._persist()
-            return
-        self.done.append(name)
-        self._persist()
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--stage", name],
+                capture_output=True, text=True, timeout=timeout, cwd=HERE,
+            )
+        except subprocess.TimeoutExpired as e:
+            for s in (e.stderr or b""), (e.stdout or b""):
+                if s:
+                    log(s.decode() if isinstance(s, bytes) else s)
+            log(f"[{name}] TIMED OUT after {timeout:.0f}s; continuing")
+            return None
+        if proc.stderr:
+            log(proc.stderr.rstrip())
+        dt = time.time() - t0
+        fields = None
+        for line in proc.stdout.splitlines():
+            if line.startswith("FIELDS "):
+                fields = json.loads(line[len("FIELDS "):])
+        if proc.returncode != 0 or fields is None:
+            log(f"[{name}] FAILED (rc={proc.returncode}, {dt:.0f}s); "
+                "continuing")
+            return None
+        log(f"[{name}] done in {dt:.0f}s")
+        self.fields.update(fields)
         self.emit()
+        return fields
 
 
-def _native_oracle():
-    """(a, b, c) -> int via the independent C++ engine; None if absent."""
-    try:
-        from trialign.native import score_native
-
-        return score_native
-    except Exception:  # noqa: BLE001
-        return None
-
-
-def main():
-    import jax
-
-    from trialign import benchmarks as B
-    from trialign.config import Scoring
-
-    scoring = Scoring()
+def parent_main():
     r = Runner()
-    backend = jax.default_backend()
-    on_tpu = backend == "tpu"
+    probe = r.run_stage_raw("probe", 120)
+    backend = (probe or {}).get("backend", "none")
     r.fields["backend"] = backend
-    log(f"backend={backend} devices={jax.devices()} "
-        f"budget={r.budget:.0f}s retry={r.retries}")
-
-    if not on_tpu:
-        def cpu_smoke(f):
-            import numpy as np
-
-            from trialign.golden import align_planes_numpy
-            from trialign.kernels.wavefront import align_wavefront
-
-            rng = np.random.default_rng(1)
-            a, b, c = (rng.integers(0, 4, 12).astype(np.uint8)
-                       for _ in range(3))
-            got = align_wavefront(a, b, c, scoring, interpret=True)
-            want = align_planes_numpy(a, b, c, scoring)
-            if got != want:
-                raise AssertionError(f"CPU parity FAILED: {got} != {want}")
-            g, dt = B.bench_single_stream(32, 2, scoring)
-            f["cpu_smoke_gcups"] = g
-            f["parity"] = "exact"
-            log(f"single-stream 32^3 (CPU smoke): {dt*1e3:.2f} ms")
-
-        r.stage("cpu_smoke", 120, cpu_smoke)
+    log(f"backend={backend} devices={(probe or {}).get('devices')} "
+        f"budget={r.budget:.0f}s")
+    if backend != "tpu":
+        r.run_stage("cpu_smoke", 150)
         return
-
-    oracle = _native_oracle()
-
-    # -- stage 1: headline 1k^3, parity vs the C++ oracle on the measured
-    # sequences themselves (~17 s on the host; no extra TPU compile).
-    def blocked_1k(f):
-        g, dt, score0, trip0 = B.bench_blocked(
-            1024, 4, scoring, return_score0=True
-        )
-        f["blocked_1024_gcups"] = round(g, 3)
-        f["blocked_1024_ms"] = round(dt * 1e3, 1)
-        log(f"blocked 1k^3: {dt*1e3:.1f} ms/alignment -> {g:.2f} GCUPS")
-        if oracle is not None:
-            want = oracle(*trip0)
-            if score0 != want:
-                f["parity"] = "FAILED"
-                raise AssertionError(
-                    f"1k^3 parity vs C++ oracle FAILED: {score0} != {want}"
-                )
-            f["parity"] = "exact"
-            log(f"parity OK at 1k^3 vs independent C++ oracle ({score0})")
-
-    r.stage("blocked_1k", 340, blocked_1k)
-
-    # -- stage 2: fixture parity (wavefront + blocked vs NumPy golden on
-    # the reference's dat vectors).
-    def parity_fix(f):
-        score = B.parity_check(scoring, include_alt=False)
-        f["parity"] = "exact"
-        f["reference_dat_score"] = int(score)
-        log(f"parity OK on the reference dat 64-triplet (score {score}, "
-            "wavefront + blocked)")
-
-    r.stage("parity_fixtures", 180, parity_fix)
-
-    # -- stage 3: the ASIC's own protocol -- ONE 512^3 alignment
-    # including ramp (pic/Result.png Table III: 10.82 ms).
-    def single_512(f):
-        g, dt = B.bench_blocked(512, 8, scoring)
-        f["blocked_512_single_ms"] = round(dt * 1e3, 2)
-        f["blocked_512_single_gcups"] = round(g, 3)
-        log(f"blocked 512^3 single-stream: {dt*1e3:.2f} ms -> {g:.2f} GCUPS "
-            "(ASIC: 10.82 ms)")
-
-    r.stage("single_512", 220, single_512)
-
-    # -- stage 4: 512^3 chained x16 back-to-back (shared B/C, distinct A).
-    def chain_512(f):
-        g, dt = B.bench_blocked_chain(512, 16, scoring)
-        f["blocked_512_ms"] = round(dt * 1e3, 2)
-        f["blocked_512_gcups"] = round(g, 3)
-        log(f"blocked 512^3 chained x16 (shared-B/C back-to-back): "
-            f"{dt*1e3:.2f} ms/alignment -> {g:.2f} GCUPS")
-
-    r.stage("chain_512", 420, chain_512)
-
-    # -- stage 5: the honest back-to-back -- 16 fully DISTINCT 512^3
-    # triplets through the hetero chain (round-2 VERDICT item 4).
-    def hetero_512(f):
-        g, dt = B.bench_hetero_chain(512, 16, scoring, parity_oracle=oracle)
-        f["hetero_512_ms"] = round(dt * 1e3, 2)
-        f["hetero_512_gcups"] = round(g, 3)
-        log(f"hetero 512^3 chained x16 (distinct triplets): "
-            f"{dt*1e3:.2f} ms/alignment -> {g:.2f} GCUPS")
-
-    r.stage("hetero_512", 420, hetero_512)
-
-    # -- stage 6: mixed 1024-triplet batch (BASELINE config 3).
-    def mixed(f):
-        g, s, tps = B.bench_batch_mixed(1024, scoring)
-        f["batch_mixed_1024_gcups"] = round(g, 3)
-        f["batch_mixed_1024_triplets_per_s"] = round(tps, 1)
-        log(f"batch 1024 triplets len 128-512 end-to-end: {s:.2f} s -> "
-            f"{g:.2f} GCUPS aggregate, {tps:.0f} triplets/s "
-            "(parity spot-checked)")
-
-    r.stage("batch_mixed", 430, mixed)
-
-    # -- stage 7: dense rates (2k^3 + 1k^3 chained) for the roofline.
-    def dense_2k(f):
-        g, dt = B.bench_blocked(2048, 2, scoring)
-        f["blocked_2048_gcups"] = round(g, 3)
-        log(f"blocked 2048^3: {dt*1e3:.1f} ms -> {g:.2f} GCUPS")
-
-    r.stage("blocked_2k", 340, dense_2k)
-
-    def chain_1k(f):
-        g, dt = B.bench_blocked_chain(1024, 8, scoring, (520, 384, 16))
-        f["blocked_1024_chained_gcups"] = round(g, 3)
-        f["blocked_1024_chained_ms"] = round(dt * 1e3, 1)
-        log(f"blocked 1k^3 chained x8 (back-to-back): {dt*1e3:.1f} "
-            f"ms/alignment -> {g:.2f} GCUPS")
-
-    r.stage("chain_1k", 420, chain_1k)
-
-    # -- stage 8: roofline (micro-benchmark rate vs the densest kernel).
-    def roofline(f):
-        rf = B.roofline(
-            scoring,
-            measured_gcups=f.get("blocked_1024_gcups", 0.0),
-            dense_gcups=max(f.get("blocked_2048_gcups", 0.0),
-                            f.get("blocked_1024_chained_gcups", 0.0)),
-        )
-        f["roofline_gcups"] = rf["roofline_gcups"]
-        f["roofline_fraction"] = rf["roofline_fraction"]
-        f["ops_per_cell"] = rf["ops_per_cell"]
-        log(f"roofline: {rf['vpu_element_ops_per_s']/1e12:.2f} T elem-ops/s "
-            f"/ {rf['ops_per_cell']} ops/cell -> ceiling "
-            f"{rf['roofline_gcups']} GCUPS; 1k^3 achieves "
-            f"{rf['roofline_fraction']:.0%}")
-
-    r.stage("roofline", 90, roofline)
-
-    # -- stage 9: short-sequence single-block path.
-    def single_255(f):
-        g, dt = B.bench_single_stream(255, 16, scoring)
-        f["single_stream_255_gcups"] = round(g, 3)
-        log(f"single-stream 255^3: {dt*1e3:.2f} ms -> {g:.2f} GCUPS")
-
-    r.stage("single_stream_255", 130, single_255)
-
     r.fields["reference_asic_512_ms"] = 10.82
     r.fields["reference_software_512_gcups"] = 0.058
+    for name, est in TPU_STAGES:
+        r.run_stage(name, est)
     r.emit()
-    log(f"bench complete in {r.elapsed():.0f}s; stages: {r.done}")
+    log(f"bench complete in {r.elapsed():.0f}s; "
+        f"fields: {sorted(r.fields)}")
+
+
+def _run_stage_raw(self, name, est):
+    """Like run_stage but returns fields without emitting (probe)."""
+    timeout = self._stage_timeout(est)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stage", name],
+            capture_output=True, text=True, timeout=timeout, cwd=HERE,
+        )
+    except subprocess.TimeoutExpired:
+        log(f"[{name}] TIMED OUT after {timeout:.0f}s")
+        return None
+    for line in proc.stdout.splitlines():
+        if line.startswith("FIELDS "):
+            return json.loads(line[len("FIELDS "):])
+    if proc.stderr:
+        log(proc.stderr.rstrip())
+    return None
+
+
+Runner.run_stage_raw = _run_stage_raw
+
+
+def child_main(name):
+    fn = STAGE_FNS[name]
+    fields = fn()
+    print("FIELDS " + json.dumps(fields), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        child_main(sys.argv[2])
+    else:
+        parent_main()

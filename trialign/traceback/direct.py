@@ -43,9 +43,10 @@ from trialign.traceback.engine import NEG
 DIRECT_CELLS = 192 * 2**20
 
 # Shape ladder (finer than the slab engine's near 512: 520/528 keep the
-# 512^3 buffer ~24% smaller than a 640 rung).
+# 512^3 buffer ~24% smaller than a 640 rung; 1040/1152 do the same for
+# the 1k class, 34% under the old 1280 rung).
 _LADDER = (16, 32, 64, 96, 128, 192, 256, 320, 384, 448, 512, 520, 576,
-           640, 768, 896, 1024, 1280, 1536, 2048, 3072, 4096)
+           640, 768, 896, 1024, 1040, 1152, 1280, 1536, 2048, 3072, 4096)
 
 SEG_STEPS = 2048  # bound single executions (remote-worker stability)
 

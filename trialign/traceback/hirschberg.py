@@ -212,12 +212,24 @@ def _solve(
             prefix = [(int(a[i]), -1, -1) for i in range(m)]
             return r_score, prefix + r_cols
 
-    left_score, left_cols = _solve(
-        a[:m], b[:jstar], c[:kstar], scoring, mode, s0, sstar
-    )
-    right_score, right_cols = _solve(
-        a[m:], b[jstar:], c[kstar:], scoring, "pin", sstar, end_state
-    )
+    # The two half problems are independent: solve them CONCURRENTLY so
+    # their device dispatches and host<->device round trips overlap (the
+    # chip serializes compute, but on the remote-TPU environment a large
+    # share of wall time is tunnel latency and host prep; round-2 VERDICT
+    # item 5).  Depth is bounded by the recursion (~3 levels at 1k^3), so
+    # the thread count stays small; JAX dispatch is thread-safe.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        fut_l = ex.submit(
+            _solve, a[:m], b[:jstar], c[:kstar], scoring, mode, s0, sstar
+        )
+        fut_r = ex.submit(
+            _solve, a[m:], b[jstar:], c[kstar:], scoring, "pin", sstar,
+            end_state,
+        )
+        left_score, left_cols = fut_l.result()
+        right_score, right_cols = fut_r.result()
     assert left_score + right_score == score, (left_score, right_score, score)
     return score, left_cols + right_cols
 
