@@ -205,7 +205,7 @@ def _block_sweep(
     ``bp``/``cp``/``zero`` are (hb, wc) plane VALUES.
 
     ``hetero`` (heterogeneous A-axis chains: every slot has its own B and C)
-    is (bpt, cpt, qcap, bp_ring, cp_ring, ring_sem): HBM tables of per-slot
+    is (bct, qcap, ..., bc_ring, ring_sem): HBM tables of per-slot packed
     B/C planes, the per-cell capture-step table, and the VMEM ring buffers
     the active slots' planes rotate through.  A cell at step q belongs to
     slot m = (q - jk - 1) div CHD, which partitions the plane into <= NB
@@ -257,8 +257,12 @@ def _block_sweep(
         # npack_rt are SMEM scalars (one compiled kernel serves a whole
         # geometry class); jkmod = jk mod d_rt arrives as an input plane
         # (vector rem by a runtime scalar is not a Mosaic-friendly op).
-        (bpt, cpt, qcap_ref, jkmod_ref, edge_ref, d_rt, npack_rt,
-         bp_ring, cp_ring, ring_sem, state) = hetero
+        # bct is the BYTE-PACKED per-(block, slot) symbol table
+        # (B | C << 8): one ring plane, one DMA and one select chain carry
+        # both sequences (NEXT 1a: halves the band-select loads/selects
+        # for +2 unpack ops per step).
+        (bct, qcap_ref, jkmod_ref, edge_ref, d_rt, npack_rt,
+         bc_ring, ring_sem, state) = hetero
         qcap = qcap_ref[0]
         jkmod = jkmod_ref[0]
         # Tile-border mask as runtime CONTENT (int32 0/1): 2D tile
@@ -330,14 +334,15 @@ def _block_sweep(
 
     if hetero is not None:
         def ring_dma(s):
-            """Load slot s's B and C planes into ring position s mod NBR."""
+            """Load slot s's packed B|C plane into ring position s mod NBR.
+
+            The table is per (block, slot): blk = jb * n_kb + kb (jb/kb
+            are the block-index scalars in hetero mode)."""
             pos = jax.lax.rem(s, jnp.int32(NBR))
             return (
                 pltpu.make_async_copy(
-                    bpt.at[jb, s], bp_ring.at[pos], ring_sem.at[0, pos]
-                ),
-                pltpu.make_async_copy(
-                    cpt.at[kb, s], cp_ring.at[pos], ring_sem.at[1, pos]
+                    bct.at[jb * n_kb + kb, s], bc_ring.at[pos],
+                    ring_sem.at[0, pos]
                 ),
             )
 
@@ -466,19 +471,19 @@ def _block_sweep(
             if hetero is not None:
                 # Band-select the symbol planes: cell slot
                 # m = (q - jk - 1) div CHD spans bands m0..m0+NB-1; band
-                # b's cells satisfy jk < q - (m0+b)*CHD.
+                # b's cells satisfy jk < q - (m0+b)*CHD.  One packed
+                # select chain carries B and C together; unpack once.
                 m0 = jax.lax.div(
                     jnp.maximum(q - (hb + wc - 2) - 1, 0), CHD_E
                 )
-                bsel = bp_ring[jax.lax.rem(m0, jnp.int32(NBR))]
-                csel = cp_ring[jax.lax.rem(m0, jnp.int32(NBR))]
+                bcsel = bc_ring[jax.lax.rem(m0, jnp.int32(NBR))]
                 for b_ in range(1, NB):
                     mb = m0 + b_
                     in_band = jk < q - mb * CHD_E
                     pos = jax.lax.rem(mb, jnp.int32(NBR))
-                    bsel = jnp.where(in_band, bp_ring[pos], bsel)
-                    csel = jnp.where(in_band, cp_ring[pos], csel)
-                bq, cq = bsel, csel
+                    bcsel = jnp.where(in_band, bc_ring[pos], bcsel)
+                bq = jax.lax.bitwise_and(bcsel, jnp.int32(0xFF))
+                cq = jax.lax.shift_right_logical(bcsel, 8)
                 s_bc_q = jnp.where(bq == cq, match, mismatch)
             else:
                 bq, cq, s_bc_q = bp, cp, s_bc
@@ -770,9 +775,8 @@ def _hetero_scratch_shapes(hb, wc, unb, nbr, njb_bands=1):
     base[5] = pltpu.VMEM((2, hb + njb_bands * unb, wc), jnp.int32)
     base[8] = pltpu.SemaphoreType.DMA((2, njb_bands))
     return base + [
-        pltpu.VMEM((nbr, hb, wc), jnp.int32),  # bp_ring
-        pltpu.VMEM((nbr, hb, wc), jnp.int32),  # cp_ring
-        pltpu.SemaphoreType.DMA((2, nbr)),  # ring_sem
+        pltpu.VMEM((nbr, hb, wc), jnp.int32),  # bc_ring (packed B | C<<8)
+        pltpu.SemaphoreType.DMA((1, nbr)),  # ring_sem
         # Sweep state (7 p1 + 7 p2 + m7p2 + m7p3 + cap): scratch, not loop
         # carries, so the macro body can runtime-skip itself wholesale via
         # pl.when -- value carries would force lax.cond (3x compile) or a
@@ -793,14 +797,14 @@ def make_hetero_grid_call(dims: Tuple, scoring: Scoring, interpret: bool):
     n_blocks = n_jb * n_kb
 
     def kernel(scal_ref, askew_ref, qcap_ref, jkmod_ref, edge_ref,
-               zeros_ref, srf_in, cf_in, bpt, cpt, srf_out, cf_out,
+               zeros_ref, srf_in, cf_in, bct, srf_out, cf_out,
                out_ref, *scratch):
         scalars = tuple(scal_ref[0, 0, i] for i in (3, 4, 5, 6, 7))
         d_rt = scal_ref[0, 0, 0]
         npack_rt = scal_ref[0, 0, 5]
         base, ring = scratch[:9], scratch[9:]
-        hetero = (bpt, cpt, qcap_ref, jkmod_ref, edge_ref, d_rt, npack_rt,
-                  ring[0], ring[1], ring[2], ring[3])
+        hetero = (bct, qcap_ref, jkmod_ref, edge_ref, d_rt, npack_rt,
+                  ring[0], ring[1], ring[2])
         _block_sweep(
             dims, scoring, scalars, askew_ref, zeros_ref[:], zeros_ref[:],
             zeros_ref[:], srf_in, cf_in, srf_out, cf_out, out_ref,
@@ -819,8 +823,7 @@ def make_hetero_grid_call(dims: Tuple, scoring: Scoring, interpret: bool):
             pl.BlockSpec((hb, wc), lambda i: (0, 0), memory_space=pltpu.VMEM),  # zeros
             pl.BlockSpec(memory_space=pltpu.HBM),  # srf
             pl.BlockSpec(memory_space=pltpu.HBM),  # cf
-            pl.BlockSpec(memory_space=pltpu.HBM),  # bpt
-            pl.BlockSpec(memory_space=pltpu.HBM),  # cpt
+            pl.BlockSpec(memory_space=pltpu.HBM),  # bct (packed B|C<<8)
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.HBM),  # srf (aliased)
@@ -853,14 +856,14 @@ def make_hetero_block_call(dims: Tuple, scoring: Scoring, interpret: bool):
     njb_bands = len(dims[14]) if len(dims) > 14 else 1
 
     def kernel(scal_ref, askew_ref, qcap_ref, jkmod_ref, edge_ref,
-               zeros_ref, srf_in, cf_in, bpt, cpt, srf_out, cf_out,
+               zeros_ref, srf_in, cf_in, bct, srf_out, cf_out,
                out_ref, *scratch):
         scalars = tuple(scal_ref[i] for i in (3, 4, 5, 6, 7))
         d_rt = scal_ref[0]
         npack_rt = scal_ref[5]
         base, ring = scratch[:9], scratch[9:]
-        hetero = (bpt, cpt, qcap_ref, jkmod_ref, edge_ref, d_rt, npack_rt,
-                  ring[0], ring[1], ring[2], ring[3])
+        hetero = (bct, qcap_ref, jkmod_ref, edge_ref, d_rt, npack_rt,
+                  ring[0], ring[1], ring[2])
         _block_sweep(
             dims, scoring, scalars, askew_ref, zeros_ref[:], zeros_ref[:],
             zeros_ref[:], srf_in, cf_in, srf_out, cf_out, out_ref,
@@ -878,8 +881,7 @@ def make_hetero_block_call(dims: Tuple, scoring: Scoring, interpret: bool):
             pl.BlockSpec(memory_space=pltpu.VMEM),  # zeros
             pl.BlockSpec(memory_space=pltpu.HBM),  # srf
             pl.BlockSpec(memory_space=pltpu.HBM),  # cf
-            pl.BlockSpec(memory_space=pltpu.HBM),  # bpt
-            pl.BlockSpec(memory_space=pltpu.HBM),  # cpt
+            pl.BlockSpec(memory_space=pltpu.HBM),  # bct (packed B|C<<8)
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.HBM),  # srf (aliased)

@@ -157,13 +157,14 @@ def prep_hetero(triplets, dims, d):
 
 @functools.partial(jax.jit, static_argnames=("dims", "scoring", "interpret"))
 def _hetero_core(a_ext, b_all, c_all, qcap, d, npack, dims, scoring, interpret,
-                 edge=None, askew_override=None, bpt_override=None,
-                 cpt_override=None):
+                 edge=None, askew_override=None, bct_override=None):
     """Device core: build slot-plane tables + askew, run the fused grid
     (or the per-call scan in interpret mode), return capture planes.
 
     ``d`` and ``npack`` are runtime scalars: one compile per geometry
-    class, shared by every chain of the class."""
+    class, shared by every chain of the class.  The symbol table is
+    BYTE-PACKED per (block, slot): bct[jb*n_kb+kb, s] = B | C << 8, so
+    the kernel's band-select ring carries one plane per slot."""
     hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims[:11]
     npack_cap = dims[12]
     tb, tc = hb - 1, wc - 1
@@ -172,20 +173,18 @@ def _hetero_core(a_ext, b_all, c_all, qcap, d, npack, dims, scoring, interpret,
         askew = askew_override  # (NJB, qqb + hb + unb, wc) tiled bands
     else:
         askew = BK._build_askew_blocked(a_ext, qqb, hb, wc, unb)[None]
-    if bpt_override is not None:
-        bpt, cpt = bpt_override, cpt_override
+    if bct_override is not None:
+        bct = bct_override
     else:
-        # Per-(block row, slot) B planes / per-(block col, slot) C planes.
+        # Per-(block row, slot) B windows / per-(block col, slot) C
+        # windows, packed into per-(block, slot) planes.
         j0s = jnp.arange(n_jb, dtype=jnp.int32) * tb
         k0s = jnp.arange(n_kb, dtype=jnp.int32) * tc
         bwin = b_all[:, j0s[:, None] + jnp.arange(hb, dtype=jnp.int32)[None, :]]
         cwin = c_all[:, k0s[:, None] + jnp.arange(wc, dtype=jnp.int32)[None, :]]
-        bpt = jnp.broadcast_to(
-            jnp.swapaxes(bwin, 0, 1)[:, :, :, None], (n_jb, npack_cap, hb, wc)
-        )
-        cpt = jnp.broadcast_to(
-            jnp.swapaxes(cwin, 0, 1)[:, :, None, :], (n_kb, npack_cap, hb, wc)
-        )
+        bpt = jnp.swapaxes(bwin, 0, 1)[:, None, :, :, None]  # (njb,1,s,hb,1)
+        cpt = jnp.swapaxes(cwin, 0, 1)[None, :, :, None, :]  # (1,nkb,s,1,wc)
+        bct = (bpt | (cpt << 8)).reshape(n_jb * n_kb, npack_cap, hb, wc)
     zeros = jnp.zeros((hb, wc), jnp.int32)
     jgrid = jnp.arange(hb, dtype=jnp.int32)[:, None]
     kgrid = jnp.arange(wc, dtype=jnp.int32)[None, :]
@@ -208,7 +207,7 @@ def _hetero_core(a_ext, b_all, c_all, qcap, d, npack, dims, scoring, interpret,
     if not interpret:
         call = BK.make_hetero_grid_call(dims, scoring, interpret)
         _, _, caps = call(scal_tab, askew, qcap, jkmod, edge, zeros, srf0,
-                          cf0, bpt, cpt)
+                          cf0, bct)
         return caps
 
     # Interpret fallback: per-block calls scanned (grid io-aliasing is not
@@ -226,7 +225,7 @@ def _hetero_core(a_ext, b_all, c_all, qcap, d, npack, dims, scoring, interpret,
         ).astype(jnp.int32)
         qcap_i = jax.lax.dynamic_slice(qcap, (i, 0, 0), (1, hb, wc))
         srf, cf, cap = call(scal, askew, qcap_i, jkmod, edge, zeros, srf, cf,
-                            bpt, cpt)
+                            bct)
         caps = jax.lax.dynamic_update_slice(caps, cap, (i, 0, 0))
         return (srf, cf, caps), None
 

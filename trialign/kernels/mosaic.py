@@ -259,7 +259,7 @@ def _mosaic_core(a_cols, colmask, bpos, cpos, qcap, edge, layout, d, npack,
         jnp.zeros((lab + 2,), jnp.int32), jnp.zeros((npack_cap, 1), jnp.int32),
         jnp.zeros((npack_cap, 1), jnp.int32), qcap, d, npack, dims, scoring,
         interpret, edge=edge,
-        askew_override=askew, bpt_override=bpt[None], cpt_override=cpt[None],
+        askew_override=askew, bct_override=(bpt | (cpt << 8))[None],
     )
 
 
