@@ -13,6 +13,8 @@ from trialign.golden import align_planes_numpy
 from trialign.kernels.blocked import align_blocked, plan_dims
 from tests.conftest import random_triplet
 
+pytestmark = pytest.mark.heavy  # minutes-long on CPU interpret
+
 
 def test_plan_dims_geometry():
     hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, s1, s2, unb = plan_dims(300, 300, 300)

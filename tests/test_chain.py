@@ -8,6 +8,8 @@ import pytest
 from trialign.golden import align_planes_numpy
 from tests.conftest import random_triplet
 
+pytestmark = pytest.mark.heavy  # minutes-long on CPU interpret
+
 
 def _rt(rng, la, lb, lc):
     return tuple(rng.integers(0, 4, s).astype(np.uint8) for s in (la, lb, lc))

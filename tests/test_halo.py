@@ -11,6 +11,8 @@ from trialign.dist.mesh import make_mesh
 from trialign.golden import align_planes_numpy
 from tests.conftest import random_triplet
 
+pytestmark = pytest.mark.heavy  # minutes-long on CPU interpret
+
 
 @pytest.mark.parametrize("ndev", [2, 4])
 def test_halo_matches_golden(rng, ndev):

@@ -8,6 +8,8 @@ import pytest
 from trialign.golden import align_planes_numpy
 from tests.conftest import random_triplet
 
+pytestmark = pytest.mark.heavy  # minutes-long on CPU interpret
+
 
 @pytest.fixture
 def small_canvas(monkeypatch):

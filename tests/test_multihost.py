@@ -17,6 +17,8 @@ import pytest
 
 from trialign.golden import align_planes_numpy
 
+pytestmark = pytest.mark.heavy  # minutes-long on CPU interpret
+
 
 def _free_port() -> int:
     s = socket.socket()

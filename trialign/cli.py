@@ -106,6 +106,7 @@ def cmd_align(args) -> int:
         res = align(
             a, b, c, scoring=_scoring(args), backend=args.backend,
             return_alignment=args.alignment,
+            score_bits=getattr(args, "score_bits", 0),
         )
     if args.profile:
         print(f"profiler trace written to {args.profile}", file=sys.stderr)
@@ -264,6 +265,9 @@ def main(argv=None) -> int:
     p.add_argument("--backend", default="auto",
                    choices=["auto", "golden", "xla", "pallas", "pallas_interpret", "blocked", "native"])
     p.add_argument("--alignment", action="store_true", help="recover the alignment")
+    p.add_argument("--score-bits", type=int, default=0, dest="score_bits",
+                   help="RTL bit-parity mode: wrap stored scores as signed "
+                   "N-bit registers (the hardware's SCORE_BITS=12)")
     p.add_argument("--json", action="store_true")
     p.add_argument("--profile", metavar="DIR",
                    help="write a jax.profiler trace to DIR")
