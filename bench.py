@@ -205,11 +205,58 @@ def stage_chain_1k():
             "blocked_1024_chained_ms": round(dt * 1e3, 1)}
 
 
+def stage_traceback_512():
+    """Full alignment (score + traceback string) at 512^3 -- the
+    capability the reference stubbed out (src/PE_1cyc.v:12-14,30)."""
+    import time as _t
+
+    import numpy as np
+
+    from trialign.api import align
+    from trialign.golden.numpy_model import rescore_alignment
+
+    rng = np.random.default_rng(13)
+    a, b, c = (rng.integers(0, 4, 512).astype(np.uint8) for _ in range(3))
+    res = align(a, b, c, return_alignment=True)  # compile + warm
+    assert rescore_alignment(res.alignment) == res.score
+    best = float("inf")
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        align(a, b, c, return_alignment=True)
+        best = min(best, _t.perf_counter() - t0)
+    log(f"512^3 FULL alignment (score + traceback, warm): {best:.2f} s "
+        "(rescore-validated)")
+    return {"traceback_512_s": round(best, 3)}
+
+
+def stage_traceback_1k():
+    import time as _t
+
+    import numpy as np
+
+    from trialign.api import align
+    from trialign.golden.numpy_model import rescore_alignment
+
+    rng = np.random.default_rng(13)
+    a, b, c = (rng.integers(0, 4, 1024).astype(np.uint8) for _ in range(3))
+    res = align(a, b, c, return_alignment=True)  # compile + warm
+    assert rescore_alignment(res.alignment) == res.score
+    best = float("inf")
+    for _ in range(2):
+        t0 = _t.perf_counter()
+        align(a, b, c, return_alignment=True)
+        best = min(best, _t.perf_counter() - t0)
+    log(f"1k^3 FULL alignment (score + traceback, warm): {best:.2f} s "
+        "(rescore-validated)")
+    return {"traceback_1k_s": round(best, 3)}
+
+
 def stage_roofline():
     from trialign import benchmarks as B
     from trialign.config import Scoring
 
-    rf = B.roofline(Scoring())
+    live = os.environ.get("TRIALIGN_ROOFLINE_LIVE", "1") == "1"
+    rf = B.roofline(Scoring(), measure_live=live)
     log(f"roofline: anchor {rf['vpu_element_ops_per_s']/1e12:.2f} T "
         f"elem-ops/s (live micro {rf['vpu_micro_measured']/1e12:.2f} T) / "
         f"{rf['ops_per_cell']} ops/cell -> ceiling "
@@ -238,24 +285,33 @@ STAGE_FNS = {
     "batch_mixed": stage_batch_mixed,
     "blocked_2k": stage_blocked_2k,
     "chain_1k": stage_chain_1k,
+    "traceback_512": stage_traceback_512,
+    "traceback_1k": stage_traceback_1k,
     "roofline": stage_roofline,
     "single_stream_255": stage_single_stream_255,
 }
 
-# (name, worst-case seconds) in execution order: fastest-compile-first,
-# highest-value-first.  Estimates include a pathological-compile margin;
-# the per-stage timeout is larger still (see _stage_timeout).
+# (name, worst-case-COLD seconds) in execution order, highest-value-first:
+# headline+parity, then the three 512^3 protocols (chained / distinct-
+# triplet / single), the mixed batch, traceback, then breadth.  The axon
+# compile service caches server-side, so a stage whose HLO was compiled
+# recently (e.g. by a pre-warm run) takes ~1/10 of the cold estimate --
+# gating is therefore OPTIMISTIC (a high-value stage is always attempted
+# while meaningful budget remains; a cold compile burning its timeout on
+# a high-value stage is a better spend than landing three tail stages).
 TPU_STAGES = [
     ("blocked_1k", 400),
-    ("parity_fixtures", 150),
-    ("single_512", 200),
-    ("chain_512", 420),
+    ("chain_512", 400),
     ("hetero_512", 420),
     ("batch_mixed", 430),
-    ("roofline", 90),
-    ("blocked_2k", 320),
+    ("single_512", 280),
+    ("traceback_512", 300),
     ("chain_1k", 420),
-    ("single_stream_255", 100),
+    ("blocked_2k", 330),
+    ("traceback_1k", 300),
+    ("roofline", 120),
+    ("parity_fixtures", 450),
+    ("single_stream_255", 150),
 ]
 
 
@@ -308,23 +364,31 @@ class Runner:
         print(json.dumps(result), flush=True)
 
     def _stage_timeout(self, est):
-        # Generous vs the estimate (pathological compiles), hard-capped by
-        # what is left of the global budget.
-        return max(60.0, min(self.remaining() - 15.0, max(3.0 * est, est + 240.0)))
+        # Bounded by the global budget; generous enough for a cold compile
+        # of this stage but not so large one stage eats every later one.
+        return max(60.0, min(self.remaining() - 15.0, max(1.5 * est, est + 180.0)))
 
     def run_stage(self, name, est):
-        if self.elapsed() + est > self.budget:
-            log(f"[{name}] SKIPPED (needs ~{est:.0f}s, "
-                f"{self.remaining():.0f}s left of {self.budget:.0f})")
+        # Optimistic gating: attempt any stage while meaningful budget
+        # remains -- on a warm server-side compile cache stages finish in
+        # ~1/10 the cold estimate, and stages are value-ordered so burning
+        # the remaining budget on this one beats saving it for the tail.
+        if self.remaining() < 75.0:
+            log(f"[{name}] SKIPPED ({self.remaining():.0f}s left "
+                f"of {self.budget:.0f})")
             return None
         timeout = self._stage_timeout(est)
         log(f"[{name}] start (elapsed {self.elapsed():.0f}s, "
             f"timeout {timeout:.0f}s)")
+        env = dict(os.environ)
+        if self.remaining() < 300.0:
+            env["TRIALIGN_ROOFLINE_LIVE"] = "0"
         t0 = time.time()
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--stage", name],
                 capture_output=True, text=True, timeout=timeout, cwd=HERE,
+                env=env,
             )
         except subprocess.TimeoutExpired as e:
             for s in (e.stderr or b""), (e.stdout or b""):

@@ -17,9 +17,12 @@ active and skipped macros by linear fit.
 Run: python experiments/probe_skipmacro.py
 """
 
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, "/root/repo")
 
 
 def main():
