@@ -102,17 +102,45 @@ def _rotate(t, sop: bool):
     return t
 
 
-def pack_mosaic(problems, npack_cap: int = P_CAP):
-    """Greedy shelf packer: problems -> dispatches of <= NT_MAX tiles.
+# Modeled fixed cost of opening one more dispatch, in plane-equivalents:
+# the static sweep's skipped macros (~2157 macros x 32.5 us at canvas
+# geometry against ~9.2 us of compute per active UNB-plane) plus dispatch
+# latency.  Drives the packer's open-vs-squeeze decision only; measured
+# wall time is what bench reports.
+DISPATCH_PENALTY_PLANES = 8000
 
-    ``problems`` = [(orig_idx, (a, b, c)), ...] already rotated.  Sorted
-    by descending |B|; tiles open on demand with the smallest band-run
-    that fits, stacked k-shelf by k-shelf.  Returns a list of dispatches,
-    each a list of Tiles."""
+
+def _marginal_planes(disp, meta, la, has_slot):
+    """Added active sweep planes if a problem with |A| = la joins ``disp``.
+
+    meta = [d (current max pitch), npack (current max tile count)].  The
+    sweep length is npack * d: a problem rides free unless it raises the
+    pitch (bigger la) or the max slot count (joining a fullest tile /
+    fresh tile when every other tile is at the max)."""
+    d_new = max(meta[0], la + 1)
+    np_new = meta[1] + (0 if has_slot else 1)
+    return np_new * d_new - meta[1] * meta[0]
+
+
+def pack_mosaic(problems, npack_cap: int = P_CAP):
+    """Cost-driven shelf packer: problems -> dispatches of <= NT_MAX tiles.
+
+    ``problems`` = [(orig_idx, (a, b, c)), ...] already rotated.  Placed
+    in ASCENDING |A| order; each problem goes where it adds the fewest
+    modeled sweep planes (a dispatch costs npack * d planes with runtime
+    pitch d = max |A| + 1, so a problem rides free in a dispatch whose
+    pitch already covers it and whose fullest tile it avoids), with
+    DISPATCH_PENALTY_PLANES charged for opening a new dispatch.  This
+    keeps pitches tight (uniform 128-512 batches waste ~20% of planes
+    when every dispatch pays the batch-max pitch) AND dispatches few.
+    Problems arrive tallest-|B| first so big tiles shelve before small
+    ones; tiles open on demand with the smallest band-run that fits,
+    stacked k-shelf by k-shelf."""
     order = sorted(problems, key=lambda it: (-len(it[1][1]), -len(it[1][2])))
     dispatches: List[List[Tile]] = []
+    metas: List[List[int]] = []  # [d, npack_max] per dispatch
 
-    def open_tile(disp, kcursor, lb, lc):
+    def open_tile(disp, lb, lc):
         # smallest run covering lb+1 rows, preferring later (smaller) bands
         for b0, b1, j0, h in sorted(_RUNS, key=lambda r: (r[3], r[0])):
             if h >= lb + 2:
@@ -139,42 +167,59 @@ def pack_mosaic(problems, npack_cap: int = P_CAP):
         disp.append(tile)
         return tile
 
+    def can_open_tile(disp, lb, lc):
+        if len(disp) >= NT_MAX:
+            return False
+        probe: List[Tile] = list(disp)
+        t = open_tile(probe, lb, lc)
+        if t is not None:
+            probe.remove(t)  # dry run only
+            return True
+        return False
+
     for item in order:
         _, (a, b, c) = item
-        lb, lc = len(b), len(c)
-        placed = False
-        for disp in dispatches:
-            # Fill the EMPTIEST fitting tile: the sweep length is set by
-            # the fullest tile's slot count, so unbalanced occupancy
-            # leaves late tiles idle for most of the sweep (first-fit
-            # measured ~12% slot utilization on mixed batches).
+        la, lb, lc = len(a), len(b), len(c)
+        # Candidate placements: (marginal planes, disp index, tile|None).
+        best = None
+        for di, disp in enumerate(dispatches):
             cands = [
                 t for t in disp
                 if t.fits(lb, lc) and len(t.problems) < npack_cap
             ]
             if cands:
+                # The EMPTIEST fitting tile balances occupancy: the sweep
+                # length is set by the fullest tile, so unbalanced fills
+                # leave late tiles idle (first-fit measured ~12% slot
+                # utilization on mixed batches).
                 t = min(cands, key=lambda t: len(t.problems))
-                t.problems.append(item)
-                t.cells.add((lb, lc))
-                placed = True
-                break
-            if len(disp) < NT_MAX:
-                t = open_tile(disp, None, lb, lc)
-                if t is not None:
-                    t.problems.append(item)
-                    t.cells.add((lb, lc))
-                    placed = True
-                    break
-        if not placed:
+                has_slot = len(t.problems) + 1 <= metas[di][1]
+                dc = _marginal_planes(disp, metas[di], la, has_slot)
+                if best is None or dc < best[0]:
+                    best = (dc, di, t)
+            elif can_open_tile(disp, lb, lc):
+                dc = _marginal_planes(disp, metas[di], la, False)
+                if best is None or dc < best[0]:
+                    best = (dc, di, None)
+        open_cost = DISPATCH_PENALTY_PLANES + (la + 1) + HB + WC
+        if best is None or best[0] > open_cost:
             disp = []
-            t = open_tile(disp, None, lb, lc)
+            t = open_tile(disp, lb, lc)
             assert t is not None, (lb, lc)
+            dispatches.append(disp)
+            metas.append([la + 1, 1])
             t.problems.append(item)
             t.cells.add((lb, lc))
-            dispatches.append(disp)
-    # Trim: drop empty tiles (opened but never filled cannot happen, but
-    # keep the invariant obvious) and report utilization to callers via
-    # the tile lists themselves.
+            continue
+        _, di, t = best
+        disp = dispatches[di]
+        if t is None:
+            t = open_tile(disp, lb, lc)
+            assert t is not None, (lb, lc)
+        t.problems.append(item)
+        t.cells.add((lb, lc))
+        metas[di][0] = max(metas[di][0], la + 1)
+        metas[di][1] = max(metas[di][1], len(t.problems))
     return dispatches
 
 
@@ -221,39 +266,73 @@ def prep_mosaic(disp: List[Tile], dims, d):
 @functools.partial(jax.jit, static_argnames=("dims", "scoring", "interpret"))
 def _mosaic_core(a_cols, colmask, bpos, cpos, qcap, edge, layout, d, npack,
                  dims, scoring, interpret):
-    """Device core: per-tile Hankels column-selected into the band askew
-    arrays, per-slot B/C planes assembled by tile masks, then the shared
-    hetero kernel."""
-    from trialign.kernels.wavefront import build_askew
+    """Device core: per-band composite Hankels (tile A-chains merged in
+    compact space, one shear per band), per-slot B/C planes assembled by
+    one-hot tile contractions, then the shared hetero kernel.
+
+    The merges run in COMPACT space before any big array exists: a
+    per-tile Hankel is rows x (rows + wc) and rows reaches ~17k at canvas
+    geometry, so the previous 16-Hankel + per-band select design staged
+    ~20 GB of intermediates per dispatch; the one-hot contractions touch
+    ~16 MB and each band shears one (wc, rows + wc) array (~35 MB)."""
+    from trialign.kernels.wavefront import shear_rows
 
     hb, wc, lab = dims[0], dims[1], dims[2]
     qqb, unb = dims[5], dims[10]
     npack_cap = dims[12]
     nbands = len(dims[14])
+    nt = colmask.shape[1]
+    hi = jax.lax.Precision.HIGHEST
 
     rows = qqb + hb + unb
-    # Per-tile Hankels (the 1D shear trick), column-selected per band.
-    hank = [
-        build_askew(a_cols[t], qqb, rows, wc) for t in range(NT_MAX)
-    ]
+    # Flipped/padded per-tile A vectors (build_askew's v/vp, batched):
+    # vp[t, m] = a_cols[t, qqb - m] for m <= qqb else PAD.
+    L = qqb + 1
+    M = rows + wc
+    ar = jnp.concatenate(
+        [a_cols,
+         jnp.full((nt, L - a_cols.shape[1]), PAD_SYMBOL, a_cols.dtype)],
+        axis=1,
+    )
+    vp = jnp.concatenate(
+        [jnp.flip(ar, 1),
+         jnp.full((nt, M - L), PAD_SYMBOL, a_cols.dtype)],
+        axis=1,
+    ).astype(jnp.float32)
     askew = []
     for b in range(nbands):
-        acc = jnp.full((rows, wc), PAD_SYMBOL, jnp.int32)
-        for t in range(NT_MAX):
-            acc = jnp.where(colmask[b, t][None, :] > 0, hank[t], acc)
-        askew.append(acc)
+        # One-hot column->tile contraction (exact: each column is owned
+        # by at most one tile, so every sum has a single nonzero term).
+        oh = colmask[b].astype(jnp.float32)  # (nt, wc)
+        w = jnp.einsum("tk,tm->km", oh, vp, precision=hi)
+        own = jnp.sum(oh, axis=0)
+        w = jnp.where(own[:, None] > 0, w, jnp.float32(PAD_SYMBOL))
+        askew.append(shear_rows(w.astype(jnp.int32), rows, PAD_SYMBOL).T)
     askew = jnp.stack(askew)
 
-    # Per-slot B/C planes assembled from tile rectangles.
+    # Per-slot B/C planes from tile rectangles, as one-hot row/col
+    # contractions over the tile axis (cells outside every tile get the
+    # sentinels; tile rectangles are disjoint so sums are single-term).
     jg = jnp.arange(hb, dtype=jnp.int32)[:, None]
     kg = jnp.arange(wc, dtype=jnp.int32)[None, :]
-    bpt = jnp.full((npack_cap, hb, wc), PAD_SYMBOL - 1, jnp.int32)
-    cpt = jnp.full((npack_cap, hb, wc), PAD_SYMBOL - 2, jnp.int32)
-    for t in range(NT_MAX):
-        j0, th, k0, tw = (layout[t, i] for i in range(4))
-        m = (jg >= j0) & (jg < j0 + th) & (kg >= k0) & (kg < k0 + tw)
-        bpt = jnp.where(m[None], bpos[:, t, :, None], bpt)
-        cpt = jnp.where(m[None], cpos[:, t, None, :], cpt)
+    j0, th, k0, tw = (layout[:, i] for i in range(4))
+    rowm = ((jg.T >= j0[:, None]) & (jg.T < (j0 + th)[:, None])).astype(
+        jnp.float32
+    )  # (nt, hb)
+    colm = ((kg >= k0[:, None]) & (kg < (k0 + tw)[:, None])).astype(
+        jnp.float32
+    )  # (nt, wc)
+    owned = jnp.einsum("tj,tk->jk", rowm, colm, precision=hi) > 0
+    bpt = jnp.einsum(
+        "mtj,tk->mjk", bpos.astype(jnp.float32) * rowm[None], colm,
+        precision=hi,
+    ).astype(jnp.int32)
+    cpt = jnp.einsum(
+        "mtk,tj->mjk", cpos.astype(jnp.float32) * colm[None], rowm,
+        precision=hi,
+    ).astype(jnp.int32)
+    bpt = jnp.where(owned[None], bpt, jnp.int32(PAD_SYMBOL - 1))
+    cpt = jnp.where(owned[None], cpt, jnp.int32(PAD_SYMBOL - 2))
 
     return CH._hetero_core(
         jnp.zeros((lab + 2,), jnp.int32), jnp.zeros((npack_cap, 1), jnp.int32),

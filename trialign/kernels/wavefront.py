@@ -231,12 +231,32 @@ def _make_kernel(lab: int, hb: int, wc: int, scoring: Scoring,
     return kernel, qq, dtype
 
 
+def shear_rows(w, rows, pad_value):
+    """T[k, r] = w[k, k + r] over a (ncols, M) row-major array.
+
+    The pad-flatten-reshape shear: element (k, r) of the reshape is
+    flat[k*(M+1) + r] = w[k, k + r] whenever k + r < M, which callers
+    guarantee by sizing M >= ncols + rows - 1 (they use M = rows + ncols).
+    The trailing ncols pad elements only make the reshape size-legal;
+    no consumed index ever reaches them.
+    """
+    ncols, M = w.shape
+    flat = jnp.concatenate(
+        [w.reshape(-1), jnp.full((ncols,), pad_value, w.dtype)]
+    )
+    return flat.reshape(ncols, M + 1)[:, :rows]
+
+
 def build_askew(a_ext, qq, rows, cols, pad_value: int = PAD_SYMBOL):
     """Gather-free skewed symbol array: ASKREV[r, k] = A[qq - r - k].
 
-    A Hankel matrix of the reversed symbol vector, built with the classic
-    shear-by-reshape trick (broadcast + reshape + flip) -- an XLA gather
-    here costs ~2 ms per alignment on TPU, this is ~free.
+    A Hankel matrix of the reversed symbol vector -- an XLA gather here
+    costs ~2 ms per alignment on TPU, so it is built by shearing a
+    (cols, rows + cols) staging array (shear_rows) and transposing.
+    Shearing on the cols side keeps the materialized intermediate at
+    cols x (rows + cols): at chain/mosaic geometry rows reaches ~17k,
+    where the previous rows-side shear staged a ~1.3 GB intermediate per
+    call; this stays ~35 MB.
     """
     L = qq + 1
     pad = jnp.full((max(0, L - a_ext.shape[0]),), pad_value, a_ext.dtype)
@@ -246,15 +266,8 @@ def build_askew(a_ext, qq, rows, cols, pad_value: int = PAD_SYMBOL):
     vp = jnp.concatenate(
         [v, jnp.full((max(0, M - L),), pad_value, v.dtype)]
     )[:M]
-    # narrow-reshape: N[s, k] = u[(k - s) mod M]; with u = roll(vp, -(rows-1))
-    # and a row flip this is exactly H[r, k] = vp[r + k].
-    u = jnp.roll(vp, -(rows - 1))
-    N = (
-        jnp.broadcast_to(u, (rows, M))
-        .reshape(-1)[: rows * (M - 1)]
-        .reshape(rows, M - 1)
-    )
-    return jnp.flip(N, 0)[:, :cols]
+    # T[k, r] = vp[k + r] -> transpose is H[r, k] = vp[r + k].
+    return shear_rows(jnp.broadcast_to(vp, (cols, M)), rows, pad_value).T
 
 
 def _build_planes(a_ext, b_full, c_full, lab, hb, wc):
