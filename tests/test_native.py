@@ -47,3 +47,40 @@ def test_native_dat_triplet():
 
     a, b, c = load_reference_triplet()
     assert native.score_native(a, b, c) == align_planes_numpy(a, b, c)
+
+
+@pytest.mark.parametrize("s3_mode", ["sop", "rtl"])
+def test_native_traceback_fuzz(rng, s3_mode):
+    """Native alignments score exactly and rescore to their own score (any
+    co-optimal alignment is acceptable; rescoring is the invariant)."""
+    from trialign.golden.numpy_model import rescore_alignment
+
+    sc = Scoring(s3_mode=s3_mode)
+    for _ in range(8):
+        la, lb, lc = (int(x) for x in rng.integers(2, 36, size=3))
+        a, b, c = random_triplet(rng, la, lb, lc)
+        score, rows = native.align_native(a, b, c, sc)
+        assert score == align_planes_numpy(a, b, c, sc)
+        assert rescore_alignment(rows, sc) == score
+        # Gap-stripped rows reproduce the inputs.
+        assert [v for v in rows[0] if v != -1] == list(a)
+        assert [v for v in rows[1] if v != -1] == list(b)
+        assert [v for v in rows[2] if v != -1] == list(c)
+
+
+def test_native_traceback_matches_hirschberg_score():
+    from trialign.traceback.hirschberg import hirschberg_align
+
+    rng = np.random.default_rng(11)
+    a, b, c = random_triplet(rng, 30, 24, 18)
+    ns, _ = native.align_native(a, b, c)
+    hs, _ = hirschberg_align(a, b, c)
+    assert ns == hs
+
+
+def test_native_traceback_empty():
+    e = np.zeros(0, dtype=np.uint8)
+    a = np.ones(3, dtype=np.uint8)
+    score, rows = native.align_native(a, e, a)
+    assert score == 0
+    assert [v for v in rows[0] if v != -1] == [1, 1, 1]

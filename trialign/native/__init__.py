@@ -1,4 +1,5 @@
 from trialign.native.build import (  # noqa: F401
+    align_native,
     build,
     is_available,
     score_native,

@@ -77,6 +77,24 @@ def _load() -> ctypes.CDLL:
         ctypes.c_int32,
     ]
     lib.trialign_score_batch.restype = None
+    lib.trialign_align.restype = ctypes.c_int32
+    lib.trialign_align.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     _lib = lib
     return lib
 
@@ -116,6 +134,68 @@ def score_native(a, b, c, scoring: Scoring = Scoring()) -> int:
             0 if scoring.s3_mode == "sop" else 1,
         )
     )
+
+
+def align_native(a, b, c, scoring: Scoring = Scoring()):
+    """(score, rows) via the C++ choice-capture engine: one optimal
+    alignment as 3 rows of symbol codes (-1 = gap), semantics identical to
+    hirschberg_align (zero-border free start, walk stops at the first
+    border, unscored leading context prepended).
+
+    The choice buffer is 4 bytes per DP cell (~0.5 GB at 512^3); this is
+    an oracle for tests and host-side use, not the TPU production path.
+
+    Restores natively the capability the reference stubbed out
+    (reference: src/PE_1cyc.v:12-14,30)."""
+    if scoring.submatrix is not None:
+        raise ValueError("submatrix scoring: use the 'golden'/'xla' backends")
+    lib = _load()
+    a = np.ascontiguousarray(a, dtype=np.uint8)
+    b = np.ascontiguousarray(b, dtype=np.uint8)
+    c = np.ascontiguousarray(c, dtype=np.uint8)
+    la, lb, lc = len(a), len(b), len(c)
+    score = ctypes.c_int32(0)
+    stop = np.zeros(3, dtype=np.int32)
+    cap = la + lb + lc + 1
+    actions = np.zeros(cap, dtype=np.int8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    n = lib.trialign_align(
+        _ptr(a), la, _ptr(b), lb, _ptr(c), lc,
+        scoring.match, scoring.mismatch, scoring.gap_open,
+        scoring.gap_extend, 0 if scoring.s3_mode == "sop" else 1,
+        ctypes.byref(score),
+        actions.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), cap,
+        stop.ctypes.data_as(i32p),
+    )
+    assert n >= 0, "native traceback buffer overflow"
+
+    from trialign.config import CONSUMES
+
+    cols = []
+    ii, jj, kk = la, lb, lc
+    for t in actions[:n]:
+        ca, cb, cc = CONSUMES[int(t)]
+        cols.append(
+            (
+                int(a[ii - 1]) if ca else -1,
+                int(b[jj - 1]) if cb else -1,
+                int(c[kk - 1]) if cc else -1,
+            )
+        )
+        ii, jj, kk = ii - ca, jj - cb, kk - cc
+    assert (ii, jj, kk) == tuple(int(v) for v in stop)
+    while ii > 0 or jj > 0 or kk > 0:
+        cols.append(
+            (
+                int(a[ii - 1]) if ii > 0 else -1,
+                int(b[jj - 1]) if jj > 0 else -1,
+                int(c[kk - 1]) if kk > 0 else -1,
+            )
+        )
+        ii, jj, kk = max(ii - 1, 0), max(jj - 1, 0), max(kk - 1, 0)
+    cols.reverse()
+    rows = [list(r) for r in zip(*cols)] if cols else [[], [], []]
+    return int(score.value), rows
 
 
 def score_native_batch(
