@@ -27,29 +27,69 @@ print(f"canvas={len(items)} tall={len(tall)}", flush=True)
 # warm everything once
 M.align_batch_mosaic(trips, scoring)
 
-floor_d = CH.chain_pitch(0, M.HB, M.WC)
-groups = {}
-for it in items:
-    la = len(it[1][0])
-    key = 0 if la < floor_d else (la - floor_d)//128 + 1
-    groups.setdefault(key, []).append(it)
-dispatches = []
-for key in sorted(groups):
-    dispatches.extend(M.pack_mosaic(groups[key]))
+# Production packing (cost-driven; la grouping now happens inside).
+dispatches = M.pack_mosaic(items)
 la_cap = max(len(rt[0]) for _, rt in items)
 dims = M.plan_mosaic(la_cap)
 
 t_all = time.perf_counter()
+# Device-side prep only (askew composites + B|C planes), no kernel: the
+# same graph minus the pallas call, to attribute dispatch time.
+import functools
+
+@functools.partial(jax.jit, static_argnames=("dims",))
+def _prep_only(a_cols, colmask, bpos, cpos, layout, dims):
+    import trialign.kernels.mosaic as MM
+    from trialign.kernels.wavefront import shear_rows
+    hb, wc = dims[0], dims[1]
+    qqb, unb = dims[5], dims[10]
+    nbands = len(dims[14])
+    nt = colmask.shape[1]
+    hi = jax.lax.Precision.HIGHEST
+    rows = qqb + hb + unb
+    L = qqb + 1
+    Mm = rows + wc
+    from trialign.config import PAD_SYMBOL
+    ar = jnp.concatenate(
+        [a_cols, jnp.full((nt, L - a_cols.shape[1]), PAD_SYMBOL, a_cols.dtype)], axis=1)
+    vp = jnp.concatenate(
+        [jnp.flip(ar, 1), jnp.full((nt, Mm - L), PAD_SYMBOL, a_cols.dtype)], axis=1
+    ).astype(jnp.float32)
+    acc = jnp.int32(0)
+    for b in range(nbands):
+        oh = colmask[b].astype(jnp.float32)
+        w = jnp.einsum("tk,tm->km", oh, vp, precision=hi)
+        own = jnp.sum(oh, axis=0)
+        w = jnp.where(own[:, None] > 0, w, jnp.float32(PAD_SYMBOL))
+        askew_b = shear_rows(w.astype(jnp.int32), rows, PAD_SYMBOL).T
+        acc = acc + askew_b[0, 0] + askew_b[-1, -1]
+    jg = jnp.arange(hb, dtype=jnp.int32)[:, None]
+    kg = jnp.arange(wc, dtype=jnp.int32)[None, :]
+    j0, th, k0, tw = (layout[:, i] for i in range(4))
+    rowm = ((jg.T >= j0[:, None]) & (jg.T < (j0 + th)[:, None])).astype(jnp.float32)
+    colm = ((kg >= k0[:, None]) & (kg < (k0 + tw)[:, None])).astype(jnp.float32)
+    bpt = jnp.einsum("mtj,tk->mjk", bpos.astype(jnp.float32) * rowm[None], colm,
+                     precision=hi).astype(jnp.int32)
+    cpt = jnp.einsum("mtk,tj->mjk", cpos.astype(jnp.float32) * colm[None], rowm,
+                     precision=hi).astype(jnp.int32)
+    return acc + bpt[0, 0, 0] + cpt[0, 0, 0]
+
 for di, disp in enumerate(dispatches):
     t0 = time.perf_counter()
     d = CH.chain_pitch(max(len(rt[0]) for t in disp for _, rt in t.problems), M.HB, M.WC)
     pr = M.prep_mosaic(disp, dims, d)
     t1 = time.perf_counter()
     a_cols, colmask, bpos, cpos, qcap, edge, layout, cells, flat = pr
+    args_dev = (jnp.asarray(a_cols), jnp.asarray(colmask), jnp.asarray(bpos),
+                jnp.asarray(cpos), jnp.asarray(layout))
+    jax.device_get(_prep_only(*args_dev, dims))  # warm/compile
+    t1b = time.perf_counter()
+    jax.device_get(_prep_only(args_dev[0] + 0, *args_dev[1:], dims))
+    t1c = time.perf_counter()
     caps = M._mosaic_core(
-        jnp.asarray(a_cols), jnp.asarray(colmask), jnp.asarray(bpos),
-        jnp.asarray(cpos), jnp.asarray(qcap), jnp.asarray(edge),
-        jnp.asarray(layout), jnp.int32(d),
+        args_dev[0], args_dev[1], args_dev[2], args_dev[3],
+        jnp.asarray(qcap), jnp.asarray(edge),
+        args_dev[4], jnp.int32(d),
         jnp.int32(max(len(t.problems) for t in disp)), dims, scoring, False)
     jax.device_get(caps[0, 0, 0])
     t2 = time.perf_counter()
@@ -57,6 +97,8 @@ for di, disp in enumerate(dispatches):
     nprob = sum(len(t.problems) for t in disp)
     slots = (npk*d + M.HB + M.WC) * M.HB * M.WC
     print(f"disp {di}: tiles={len(disp)} nprob={nprob} npack={npk} d={d} "
-          f"prep={1e3*(t1-t0):.0f}ms run={1e3*(t2-t1):.0f}ms "
-          f"({slots/max(t2-t1,1e-9)/1e9:.1f}G slots/s)", flush=True)
-print(f"canvas total: {time.perf_counter()-t_all:.2f}s", flush=True)
+          f"hostprep={1e3*(t1-t0):.0f}ms devprep={1e3*(t1c-t1b):.0f}ms "
+          f"run={1e3*(t2-t1c):.0f}ms "
+          f"({slots/max(t2-t1c,1e-9)/1e9:.1f}G slots/s)", flush=True)
+print(f"canvas total: {time.perf_counter()-t_all:.2f}s "
+      "(total incl. devprep warmups)", flush=True)
