@@ -368,7 +368,10 @@ def align_batch_mosaic(
             continue
         items.append((i, rt))
     # Tall problems (mid length beyond the canvas rows): route through
-    # the smallest tall class that fits; the residue goes blocked.
+    # the smallest tall class that fits; the residue goes blocked.  All
+    # chain dispatches queue asynchronously (device_get at the end) so
+    # host prep overlaps device compute, matching the canvas path.
+    tall_pending = []
     if tall:
         from trialign.kernels.blocked import align_blocked
 
@@ -405,18 +408,21 @@ def align_batch_mosaic(
                 blks = jnp.asarray([c[0] for c in cells])
                 jls = jnp.asarray([c[1] for c in cells])
                 kls = jnp.asarray([c[2] for c in cells])
-                for (i, _), sc_ in zip(chain, jax.device_get(caps[blks, jls, kls])):
-                    out[i] = int(sc_)
+                tall_pending.append((chain, caps[blks, jls, kls]))
+    def drain_tall():
+        for chain, scores_dev in tall_pending:
+            for (i, _), sc_ in zip(chain, jax.device_get(scores_dev)):
+                out[i] = int(sc_)
+
     if not items:
+        drain_tall()
         return out
 
     interpret = jax.default_backend() != "tpu"
-    # A dispatch costs ~the full static sweep regardless of its runtime
-    # slot count (the pl.when skip removes compute but ~46 us/macro of
-    # skipped-loop overhead remains), so throughput is set by PROBLEMS
-    # PER DISPATCH: pack everything together and keep dispatches full --
-    # la-grouping fragments occupancy and loses more than tight pitches
-    # gain.
+    # Dispatch count AND active planes both cost (the pl.when skip removes
+    # compute but leaves per-skipped-macro loop overhead): the packer
+    # places each problem where it adds the fewest modeled sweep planes
+    # and charges a penalty for opening dispatches (pack_mosaic).
     dispatches = pack_mosaic(items)
     la_cap = max(len(rt[0]) for _, rt in items)
     dims = plan_mosaic(la_cap)
@@ -437,6 +443,7 @@ def align_batch_mosaic(
         js = jnp.asarray([c[1] for c in cells])
         ks = jnp.asarray([c[2] for c in cells])
         pending.append((flat, caps[0, js, ks]))
+    drain_tall()
     for flat, scores_dev in pending:
         for oi, s in zip(flat, jax.device_get(scores_dev)):
             out[oi] = int(s)
