@@ -78,6 +78,19 @@ def test_native_traceback_matches_hirschberg_score():
     assert ns == hs
 
 
+def test_api_native_traceback(rng):
+    """align(backend='native', return_alignment=True) routes through the
+    C++ choice-capture engine and returns a valid optimal alignment."""
+    from trialign.api import align
+    from trialign.golden.numpy_model import rescore_alignment
+
+    a, b, c = random_triplet(rng, 22, 18, 27)
+    res = align(a, b, c, backend="native", return_alignment=True)
+    assert res.backend == "native"
+    assert res.score == align_planes_numpy(a, b, c)
+    assert rescore_alignment(res.alignment) == res.score
+
+
 def test_native_traceback_empty():
     e = np.zeros(0, dtype=np.uint8)
     a = np.ones(3, dtype=np.uint8)

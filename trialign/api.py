@@ -103,9 +103,22 @@ def align(
             )
 
     if return_alignment:
-        # Alignment recovery always runs the Hirschberg engine (the score
-        # backends do not materialize paths); `backend` selects the score
-        # path only and is ignored here.
+        # Alignment recovery runs the Hirschberg/direct engine; the score
+        # backends do not materialize paths, so `backend` is ignored here
+        # except for "native", which selects the C++ choice-capture engine
+        # (host-side oracle; ~4 B per DP cell).
+        if backend == "native":
+            from trialign.native import align_native
+
+            t0 = time.perf_counter()
+            score, alignment = align_native(a, b, c, scoring)
+            return AlignResult(
+                score=score,
+                alignment=alignment,
+                backend="native",
+                cells=cells,
+                seconds=time.perf_counter() - t0,
+            )
         from trialign.traceback import hirschberg_align
 
         t0 = time.perf_counter()
