@@ -368,12 +368,12 @@ class Runner:
         # of this stage but not so large one stage eats every later one.
         return max(60.0, min(self.remaining() - 15.0, max(1.5 * est, est + 180.0)))
 
-    def run_stage(self, name, est):
+    def run_stage(self, name, est, extra_env=None, force=False):
         # Optimistic gating: attempt any stage while meaningful budget
         # remains -- on a warm server-side compile cache stages finish in
         # ~1/10 the cold estimate, and stages are value-ordered so burning
         # the remaining budget on this one beats saving it for the tail.
-        if self.remaining() < 75.0:
+        if not force and self.remaining() < 75.0:
             log(f"[{name}] SKIPPED ({self.remaining():.0f}s left "
                 f"of {self.budget:.0f})")
             return None
@@ -381,6 +381,8 @@ class Runner:
         log(f"[{name}] start (elapsed {self.elapsed():.0f}s, "
             f"timeout {timeout:.0f}s)")
         env = dict(os.environ)
+        if extra_env:
+            env.update(extra_env)
         if self.remaining() < 300.0:
             env["TRIALIGN_ROOFLINE_LIVE"] = "0"
         t0 = time.time()
@@ -416,12 +418,23 @@ class Runner:
 def parent_main():
     r = Runner()
     probe = r.run_stage_raw("probe", 120)
+    if probe is None:
+        # The axon tunnel sometimes stalls for minutes on client init;
+        # one retry catches a recovered worker without burning the budget.
+        log("probe retry (axon init stalled or crashed)")
+        probe = r.run_stage_raw("probe", 150)
     backend = (probe or {}).get("backend", "none")
     r.fields["backend"] = backend
     log(f"backend={backend} devices={(probe or {}).get('devices')} "
         f"budget={r.budget:.0f}s")
     if backend != "tpu":
-        r.run_stage("cpu_smoke", 150)
+        # Pin the CPU platform in the child: if the probe failed because
+        # axon client init HANGS (vs. being absent), the smoke stage would
+        # hang the same way and the bench would emit nothing.
+        # force=True: this is the bench's last chance to emit anything --
+        # run it even if the probe (re)tries consumed the budget.
+        r.run_stage("cpu_smoke", 150, extra_env={"TRIALIGN_FORCE_CPU": "1"},
+                    force=True)
         return
     r.fields["reference_asic_512_ms"] = 10.82
     r.fields["reference_software_512_gcups"] = 0.058
@@ -455,6 +468,14 @@ Runner.run_stage_raw = _run_stage_raw
 
 
 def child_main(name):
+    if os.environ.get("TRIALIGN_FORCE_CPU") == "1":
+        # Must happen before any backend is initialized: the axon
+        # sitecustomize force-sets jax_platforms="axon,cpu", and a broken
+        # tunnel hangs client init forever; JAX_PLATFORMS alone is not
+        # honored once the plugin registers.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     fn = STAGE_FNS[name]
     fields = fn()
     print("FIELDS " + json.dumps(fields), flush=True)
