@@ -34,6 +34,24 @@ def test_blocked_multiblock_j(rng):
     assert got == want
 
 
+def test_blocked_plan_lens_parity(rng):
+    """Planning at padded length caps (shared-kernel batching) must not
+    change scores: runtime length scalars stay exact, padded planes are
+    dead cells."""
+    import jax
+
+    from trialign.kernels.blocked import align_blocked_async
+
+    for lens in [(10, 40, 50), (16, 33, 41), (9, 12, 14)]:
+        a, b, c = random_triplet(rng, *lens)
+        want = align_planes_numpy(a, b, c)
+        got = int(jax.device_get(align_blocked_async(
+            a, b, c, interpret=True, block_shape=(16, 128),
+            plan_lens=(24, 48, 64),
+        )))
+        assert got == want
+
+
 @pytest.mark.slow
 def test_blocked_multiblock_jk(rng):
     a, b, c = random_triplet(rng, 8, 35, 300)

@@ -1,6 +1,6 @@
 """Mosaic 2D-tiling batch tests (kernels/mosaic.py) on a shrunken canvas
 so CPU interpret mode stays fast; the tiling/band machinery is identical
-to the production (520, 640) canvas."""
+to the production (HB, WC) canvas."""
 
 import numpy as np
 import pytest
@@ -83,6 +83,31 @@ def test_mosaic_oversize_falls_back(rng, small_canvas):
     trips = [_rt(rng, 8, 60, 200), _rt(rng, 10, 12, 14)]
     got = M.align_batch_mosaic(trips)
     assert got == [align_planes_numpy(*t) for t in trips]
+
+
+def test_mosaic_tall_class_choice_and_blocked_residue(rng, small_canvas,
+                                                      monkeypatch):
+    """Tall problems pick the min-area fitting class; problems fitting no
+    class drain through the async blocked residue path, scores exact."""
+    M = small_canvas
+    monkeypatch.setattr(M, "TALL_SHAPES", ((80, 128, 8), (100, 64, 8)))
+    picked = []
+    orig = M.CH.plan_hetero
+
+    def spy_plan(la_cap, lbc, lcc, npack, hb, wc, unb, **kw):
+        picked.append((hb, wc))
+        return orig(la_cap, lbc, lcc, npack, hb, wc, unb, **kw)
+
+    monkeypatch.setattr(M.CH, "plan_hetero", spy_plan)
+    trips = [
+        _rt(rng, 8, 60, 120),    # fits both classes: (100, 64) is smaller
+        _rt(rng, 8, 90, 200),    # mid 90 >= 80: only (100, 64) fits
+        _rt(rng, 90, 90, 200),   # mid 90, min 90: no class -> blocked
+        _rt(rng, 10, 12, 14),    # canvas
+    ]
+    got = M.align_batch_mosaic(trips)
+    assert got == [align_planes_numpy(*t) for t in trips]
+    assert (100, 64) in picked and (80, 128) not in picked
 
 
 def test_mosaic_packer_geometry(rng, small_canvas):

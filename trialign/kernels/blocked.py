@@ -1039,22 +1039,48 @@ def align_blocked(
 
     Handles |B|, |C| beyond the single-block kernel's 255 limit; |A| is
     bounded by the skewed symbol buffer (~8k with int32 planes)."""
+    return int(
+        jax.device_get(align_blocked_async(a, b, c, scoring, interpret,
+                                           block_shape))
+    )
+
+
+def align_blocked_async(
+    a,
+    b,
+    c,
+    scoring: Scoring = Scoring(),
+    interpret: Optional[bool] = None,
+    block_shape: Optional[Tuple[int, int]] = None,
+    plan_lens: Optional[Tuple[int, int, int]] = None,
+):
+    """Like :func:`align_blocked` but returns the score as a 0-d DEVICE
+    array without syncing: callers batching many residual problems queue
+    every dispatch and drain with one ``device_get`` wave at the end
+    (each synchronous call pays a full tunnel round-trip, tens of ms on
+    the remote axon link).
+
+    ``plan_lens`` = (la_cap, lb_cap, lc_cap) >= the actual lengths plans
+    the STATIC geometry at the caps while the runtime length scalars stay
+    exact, so a heterogeneous batch shares ONE compiled kernel (a mixed
+    1024-triplet batch otherwise needs ~22 distinct compiles for its
+    blocked residue); the padded sweep planes are masked dead cells."""
     if scoring.submatrix is not None:
         raise ValueError("submatrix scoring: use the 'golden'/'xla' backends")
-    a = np.asarray(a)
-    b = np.asarray(b)
-    c = np.asarray(c)
+    a, b, c = np.asarray(a), np.asarray(b), np.asarray(c)
     la, lb, lc = len(a), len(b), len(c)
     if min(la, lb, lc) == 0:
-        return 0
+        return jnp.int32(0)
+    pla, plb, plc = plan_lens if plan_lens else (la, lb, lc)
+    assert pla >= la and plb >= lb and plc >= lc, (plan_lens, (la, lb, lc))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if block_shape:
         hb, wc = block_shape[0], block_shape[1]
         unb = block_shape[2] if len(block_shape) > 2 else DEF_UNB
     else:
-        hb, wc, unb = choose_block_shape(la, lb, lc)
-    dims = plan_dims(la, lb, lc, hb, wc, unb)
+        hb, wc, unb = choose_block_shape(pla, plb, plc)
+    dims = plan_dims(pla, plb, plc, hb, wc, unb)
     _, _, lab, _, _, _, kdim, jdim, _, _, _ = dims[:11]
 
     a_ext = np.full(lab + 2, PAD_SYMBOL, dtype=np.int32)
@@ -1074,7 +1100,7 @@ def align_blocked(
         scoring,
         interpret,
     )
-    return int(jax.device_get(res)[:NUM_MATRICES, 0].max())
+    return res[:NUM_MATRICES, 0].max()
 
 
 def prep_chain(a_list, b, c, dims):

@@ -372,17 +372,22 @@ def align_batch_mosaic(
     # chain dispatches queue asynchronously (device_get at the end) so
     # host prep overlaps device compute, matching the canvas path.
     tall_pending = []
+    blocked_residue = []  # fits no tall class: near-cubic big problems
     if tall:
-        from trialign.kernels.blocked import align_blocked
-
         by_class = {si: [] for si in range(len(TALL_SHAPES))}
         for i, rt in tall:
-            for si, (t_hb, t_wc, _) in enumerate(TALL_SHAPES):
-                if len(rt[1]) < t_hb and len(rt[2]) < t_wc - 1:
-                    by_class[si].append((i, rt))
-                    break
+            cands = [si for si, (t_hb, t_wc, _) in enumerate(TALL_SHAPES)
+                     if len(rt[1]) < t_hb and len(rt[2]) < t_wc - 1]
+            if cands:
+                # Cheapest fitting class: every sweep plane costs its
+                # hb x wc lane-slots, so min plane area wins (first-fit
+                # sent (mid<456, min<255) problems through the 175k-cell
+                # class when the 133k-cell one fits: ~11% of tall cost).
+                si = min(cands,
+                         key=lambda s: TALL_SHAPES[s][0] * TALL_SHAPES[s][1])
+                by_class[si].append((i, rt))
             else:
-                out[i] = align_blocked(rt[0], rt[1], rt[2], scoring)
+                blocked_residue.append((i, rt))
         for si, chainable in by_class.items():
             if not chainable:
                 continue
@@ -409,13 +414,40 @@ def align_batch_mosaic(
                 jls = jnp.asarray([c[1] for c in cells])
                 kls = jnp.asarray([c[2] for c in cells])
                 tall_pending.append((chain, caps[blks, jls, kls]))
-    def drain_tall():
+    blocked_pending = []
+
+    def queue_blocked():
+        # Residual problems go through the blocked sweep ASYNCHRONOUSLY,
+        # after every chain/canvas dispatch is queued: a synchronous
+        # align_blocked pays a full tunnel round-trip per problem (tens
+        # of ms each on the remote axon link, serialized on the host).
+        # Planning every problem at the residue's joint length caps
+        # shares ONE compiled kernel across all of them (~22 distinct
+        # shapes otherwise on a mixed 1024-triplet batch) for ~7% more
+        # masked sweep planes.
+        from trialign.kernels.blocked import align_blocked_async
+
+        if not blocked_residue:
+            return
+        caps = tuple(
+            max(len(rt[ax]) for _, rt in blocked_residue) for ax in range(3)
+        )
+        for i, rt in blocked_residue:
+            blocked_pending.append(
+                (i, align_blocked_async(rt[0], rt[1], rt[2], scoring,
+                                        plan_lens=caps))
+            )
+
+    def drain_all():
         for chain, scores_dev in tall_pending:
             for (i, _), sc_ in zip(chain, jax.device_get(scores_dev)):
                 out[i] = int(sc_)
+        for i, sc_dev in blocked_pending:
+            out[i] = int(jax.device_get(sc_dev))
 
     if not items:
-        drain_tall()
+        queue_blocked()
+        drain_all()
         return out
 
     interpret = jax.default_backend() != "tpu"
@@ -443,7 +475,8 @@ def align_batch_mosaic(
         js = jnp.asarray([c[1] for c in cells])
         ks = jnp.asarray([c[2] for c in cells])
         pending.append((flat, caps[0, js, ks]))
-    drain_tall()
+    queue_blocked()
+    drain_all()
     for flat, scores_dev in pending:
         for oi, s in zip(flat, jax.device_get(scores_dev)):
             out[oi] = int(s)
