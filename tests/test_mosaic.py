@@ -110,6 +110,22 @@ def test_mosaic_tall_class_choice_and_blocked_residue(rng, small_canvas,
     assert (100, 64) in picked and (80, 128) not in picked
 
 
+def test_mosaic_sharded_canvas(rng, small_canvas):
+    """Canvas dispatches spread across a mesh 'data' axis: same scores,
+    one compiled fleet (includes tall + blocked residue on the side)."""
+    from trialign.dist.mesh import default_mesh
+
+    M = small_canvas
+    mesh = default_mesh()
+    assert mesh.shape["data"] >= 2
+    trips = [_rt(rng, int(rng.integers(3, 12)), int(rng.integers(4, 16)),
+                 int(rng.integers(4, 30))) for _ in range(20)]
+    trips.append(_rt(rng, 8, 60, 120))    # tall class
+    trips.append(_rt(rng, 90, 90, 200))   # blocked residue
+    got = M.align_batch_mosaic(trips, mesh=mesh)
+    assert got == [align_planes_numpy(*t) for t in trips]
+
+
 def test_mosaic_packer_geometry(rng, small_canvas):
     M = small_canvas
     items = [(i, _rt(rng, 10, 14, 20)) for i in range(10)]

@@ -263,9 +263,8 @@ def prep_mosaic(disp: List[Tile], dims, d):
     return (a_cols, colmask, bpos, cpos, qcap, edge, layout, cells, flat)
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "scoring", "interpret"))
-def _mosaic_core(a_cols, colmask, bpos, cpos, qcap, edge, layout, d, npack,
-                 dims, scoring, interpret):
+def _mosaic_core_impl(a_cols, colmask, bpos, cpos, qcap, edge, layout, d,
+                      npack, dims, scoring, interpret):
     """Device core: per-band composite Hankels (tile A-chains merged in
     compact space, one shear per band), per-slot B/C planes assembled by
     one-hot tile contractions, then the shared hetero kernel.
@@ -342,16 +341,56 @@ def _mosaic_core(a_cols, colmask, bpos, cpos, qcap, edge, layout, d, npack,
     )
 
 
+_mosaic_core = jax.jit(
+    _mosaic_core_impl, static_argnames=("dims", "scoring", "interpret")
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_canvas_fn(dims, scoring, interpret, mesh, nloc):
+    """Compiled data-parallel canvas executor: the stacked (K, ...)
+    dispatch arrays shard across the mesh 'data' axis; every device runs
+    its ``nloc`` dispatches sequentially (lax.map) through the SAME
+    kernel -- all canvas dispatches share one static geometry, d and
+    npack being runtime scalars, so the whole fleet is one compile.
+    This is the multi-chip form of the mixed batch: N devices = N
+    reference accelerators each running a packed canvas stream."""
+    from jax.sharding import PartitionSpec as P
+
+    def per_device(a_cols, colmask, bpos, cpos, qcap, edge, layout, d, npack):
+        def one(args):
+            return _mosaic_core_impl(*args, dims=dims, scoring=scoring,
+                                     interpret=interpret)
+
+        return jax.lax.map(
+            one, (a_cols, colmask, bpos, cpos, qcap, edge, layout, d, npack)
+        )
+
+    spec = P("data")
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # info, which trips shard_map's default VMA validation.
+    return jax.jit(jax.shard_map(
+        per_device, mesh=mesh, in_specs=(spec,) * 9, out_specs=spec,
+        check_vma=False,
+    ))
+
+
 def align_batch_mosaic(
     triplets: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
     scoring: Scoring = Scoring(),
+    mesh=None,
 ) -> List[int]:
     """Batch scoring through mosaic tiling: ONE kernel compile, a few
     large dispatches, scores in input order.
 
     Problems beyond the canvas (|B| + 2 > HB or |C| + 2 > WC after
     rotation) or with empty sequences route to the tall-class/blocked/zero
-    paths."""
+    paths.
+
+    ``mesh``: a jax.sharding.Mesh with a 'data' axis spreads the canvas
+    dispatches across its devices (each device sweeps its own packed
+    canvases; see _sharded_canvas_fn); tall/residue problems stay on the
+    default device."""
     if scoring.submatrix is not None:
         raise ValueError("submatrix scoring: use the 'golden'/'xla' backends")
     triplets = [tuple(np.asarray(s) for s in t) for t in triplets]
@@ -458,18 +497,46 @@ def align_batch_mosaic(
     dispatches = pack_mosaic(items)
     la_cap = max(len(rt[0]) for _, rt in items)
     dims = plan_mosaic(la_cap)
-    pending = []
+    preps = []
     for disp in dispatches:
         d = CH.chain_pitch(max(len(rt[0]) for t in disp for _, rt in t.problems),
                            HB, WC)
-        (a_cols, colmask, bpos, cpos, qcap, edge, layout, cells, flat) = (
-            prep_mosaic(disp, dims, d)
+        preps.append(
+            (prep_mosaic(disp, dims, d), d,
+             max(len(t.problems) for t in disp))
         )
+
+    ndata = mesh.shape.get("data", 1) if mesh is not None else 1
+    if ndata > 1:
+        # Stack the dispatches and spread them across the mesh: pad the
+        # dispatch count to a multiple of the data axis with copies of
+        # dispatch 0 (their scores are never read).
+        k = len(preps)
+        padded = preps + [preps[0]] * (-k % ndata)
+        stack = [
+            np.stack([p[0][f] for p in padded]) for f in range(7)
+        ] + [
+            np.asarray([p[1] for p in padded], np.int32),
+            np.asarray([p[2] for p in padded], np.int32),
+        ]
+        fn = _sharded_canvas_fn(dims, scoring, interpret, mesh,
+                                len(padded) // ndata)
+        caps_all = fn(*(jnp.asarray(s) for s in stack))
+        queue_blocked()
+        drain_all()
+        caps_host = jax.device_get(caps_all)
+        for ki, ((_, _, _, _, _, _, _, cells, flat), _, _) in enumerate(preps):
+            for (blk, j, kk), oi in zip(cells, flat):
+                out[oi] = int(caps_host[ki, blk, j, kk])
+        return out
+
+    pending = []
+    for (a_cols, colmask, bpos, cpos, qcap, edge, layout, cells, flat), d, npk \
+            in preps:
         caps = _mosaic_core(
             jnp.asarray(a_cols), jnp.asarray(colmask), jnp.asarray(bpos),
             jnp.asarray(cpos), jnp.asarray(qcap), jnp.asarray(edge),
-            jnp.asarray(layout), jnp.int32(d),
-            jnp.int32(max(len(t.problems) for t in disp)),
+            jnp.asarray(layout), jnp.int32(d), jnp.int32(npk),
             dims, scoring, interpret,
         )
         js = jnp.asarray([c[1] for c in cells])
