@@ -126,6 +126,29 @@ def test_mosaic_sharded_canvas(rng, small_canvas):
     assert got == [align_planes_numpy(*t) for t in trips]
 
 
+def test_sharded_batch_routes_to_mosaic(rng, small_canvas, monkeypatch):
+    """align_batch_sharded sends large mixed batches through the mesh-
+    aware mosaic engine (api.align_batch's gate), scores exact."""
+    from trialign.dist.batch import align_batch_sharded
+    from trialign.dist.mesh import default_mesh
+
+    M = small_canvas
+    monkeypatch.setenv("TRIALIGN_FORCE_MOSAIC", "1")
+    calls = []
+    orig = M.align_batch_mosaic
+
+    def spy(trips, scoring, mesh=None):
+        calls.append((len(trips), mesh is not None))
+        return orig(trips, scoring, mesh=mesh)
+
+    monkeypatch.setattr(M, "align_batch_mosaic", spy)
+    trips = [_rt(rng, int(rng.integers(3, 10)), int(rng.integers(4, 12)),
+                 int(rng.integers(4, 20))) for _ in range(64)]
+    got = align_batch_sharded(trips, mesh=default_mesh())
+    assert got == [align_planes_numpy(*t) for t in trips]
+    assert calls == [(64, True)]
+
+
 def test_mosaic_packer_geometry(rng, small_canvas):
     M = small_canvas
     items = [(i, _rt(rng, 10, 14, 20)) for i in range(10)]

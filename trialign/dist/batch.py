@@ -398,6 +398,43 @@ def align_batch_sharded(
         from trialign.dist.mesh import default_mesh
 
         mesh = default_mesh()
+    # Large mixed batches on TPU route through the mosaic tiling engine
+    # with canvas dispatches spread over the mesh 'data' axis -- the same
+    # gate as api.align_batch (>= 64 mosaic-eligible problems, bounded
+    # rotated |A| so the chain pitch stays sane), composed with data
+    # parallelism.  The remainder flows through the padded/bucketed paths
+    # below.
+    import os
+
+    on_tpu = (
+        jax.default_backend() == "tpu"
+        or os.environ.get("TRIALIGN_FORCE_MOSAIC") == "1"
+    )
+    if on_tpu and len(triplets) >= 64 and scoring.submatrix is None:
+        from trialign.api import LA_MOSAIC_CAP
+        from trialign.kernels.mosaic import align_batch_mosaic
+
+        sop = scoring.s3_mode == "sop"
+
+        def la_rot(t):
+            a, b, c = t
+            return max(len(a), len(b), len(c)) if sop else max(len(a), len(b))
+
+        mos_idx = [i for i, t in enumerate(triplets)
+                   if la_rot(t) <= LA_MOSAIC_CAP]
+        if len(mos_idx) >= 64:
+            out = [0] * len(triplets)
+            mos_scores = align_batch_mosaic(
+                [triplets[i] for i in mos_idx], scoring, mesh=mesh
+            )
+            for i, s in zip(mos_idx, mos_scores):
+                out[i] = s
+            rest = [i for i in range(len(triplets)) if la_rot(triplets[i]) > LA_MOSAIC_CAP]
+            if rest:
+                for i, s in zip(rest, align_batch_sharded(
+                        [triplets[i] for i in rest], scoring, mesh, engine)):
+                    out[i] = s
+            return out
     # Triplets beyond the wavefront caps can't join the sharded vmap batch;
     # route them through the bucketed dispatcher (which chains the blocked
     # sweep round-robin across local devices) and merge in input order.

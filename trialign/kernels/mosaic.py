@@ -63,6 +63,37 @@ for _b0 in range(len(BANDS)):
         _RUNS.append((_b0, _b1, _BOFF[_b0], int(sum(BANDS[_b0:_b1 + 1]))))
 
 
+def test_canvas(hb: int = 48, wc: int = 128, bands: Tuple = (24, 24),
+                p_cap: int = 4, nt_max: int = 6, ch_p_cap: int = 4,
+                tall: Tuple = ((80, 128, 8),)):
+    """Context manager: shrink the module canvas so interpret-mode tests
+    and multi-chip dryruns run in seconds (the tiling/band machinery is
+    identical to the production canvas); restores the real geometry on
+    exit."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        g = globals()
+        saved = {k: g[k] for k in ("HB", "WC", "BANDS", "_BOFF", "_RUNS",
+                                   "P_CAP", "NT_MAX", "CH_P_CAP",
+                                   "TALL_SHAPES")}
+        boff = tuple(int(np.sum(bands[:i])) for i in range(len(bands)))
+        runs = []
+        for b0 in range(len(bands)):
+            for b1 in range(b0, len(bands)):
+                runs.append((b0, b1, boff[b0], int(sum(bands[b0:b1 + 1]))))
+        g.update(HB=hb, WC=wc, BANDS=bands, _BOFF=boff, _RUNS=runs,
+                 P_CAP=p_cap, NT_MAX=nt_max, CH_P_CAP=ch_p_cap,
+                 TALL_SHAPES=tall)
+        try:
+            yield
+        finally:
+            g.update(saved)
+
+    return _cm()
+
+
 def plan_mosaic(la_cap: int, npack_cap: int = P_CAP) -> Tuple:
     """15-tuple dims for the universal mosaic canvas (single block, no
     faces): chain.plan_hetero geometry extended with the askew band
