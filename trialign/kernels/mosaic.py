@@ -541,24 +541,39 @@ def align_batch_mosaic(
     if ndata > 1:
         # Stack the dispatches and spread them across the mesh: pad the
         # dispatch count to a multiple of the data axis with copies of
-        # dispatch 0 (their scores are never read).
+        # dispatch 0 (their scores are never read).  shard_map hands each
+        # device a CONTIGUOUS chunk, and the fleet's wall time is the
+        # slowest device, so dispatches are snake-ordered by modeled
+        # sweep planes (npack * d) into balanced chunks.
         k = len(preps)
         padded = preps + [preps[0]] * (-k % ndata)
+        nloc = len(padded) // ndata
+        order = sorted(range(len(padded)),
+                       key=lambda i: -padded[i][1] * padded[i][2])
+        chunks = [[] for _ in range(ndata)]
+        for r, i in enumerate(order):
+            dev = r % ndata if (r // ndata) % 2 == 0 else ndata - 1 - r % ndata
+            chunks[dev].append(i)
+        perm = [i for ch in chunks for i in ch]
+        assert all(len(ch) == nloc for ch in chunks)
+        padded = [padded[i] for i in perm]
         stack = [
             np.stack([p[0][f] for p in padded]) for f in range(7)
         ] + [
             np.asarray([p[1] for p in padded], np.int32),
             np.asarray([p[2] for p in padded], np.int32),
         ]
-        fn = _sharded_canvas_fn(dims, scoring, interpret, mesh,
-                                len(padded) // ndata)
+        fn = _sharded_canvas_fn(dims, scoring, interpret, mesh, nloc)
         caps_all = fn(*(jnp.asarray(s) for s in stack))
         queue_blocked()
         drain_all()
         caps_host = jax.device_get(caps_all)
-        for ki, ((_, _, _, _, _, _, _, cells, flat), _, _) in enumerate(preps):
+        for row, pi in enumerate(perm):
+            if pi >= k:
+                continue  # padding copy of dispatch 0
+            (_, _, _, _, _, _, _, cells, flat), _, _ = preps[pi]
             for (blk, j, kk), oi in zip(cells, flat):
-                out[oi] = int(caps_host[ki, blk, j, kk])
+                out[oi] = int(caps_host[row, blk, j, kk])
         return out
 
     pending = []
