@@ -158,6 +158,13 @@ def cmd_batch(args) -> int:
                     f"sequences, got {len(parts)}"
                 )
             trips.append(tuple(encode(p) for p in parts))
+    if args.sharded:
+        from trialign.dist.batch import align_batch_sharded
+
+        for i, s in enumerate(align_batch_sharded(trips,
+                                                  scoring=_scoring(args))):
+            print(f"{i}\t{s}")
+        return 0
     results = align_batch(trips, scoring=_scoring(args))
     for i, r in enumerate(results):
         print(f"{i}\t{r.score}")
@@ -278,6 +285,10 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("batch", help="align triplets from a TSV (a b c per line)")
     p.add_argument("--tsv", required=True)
+    p.add_argument("--sharded", action="store_true",
+                   help="data-parallel across every local device "
+                        "(align_batch_sharded; mixed batches >= 64 ride "
+                        "the mesh-aware mosaic engine)")
     _add_scoring_args(p)
     p.set_defaults(fn=cmd_batch)
 
