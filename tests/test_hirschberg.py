@@ -30,6 +30,43 @@ def test_small_cases_recursive(rng, monkeypatch):
         _check(*random_triplet(rng, la, lb, lc))
 
 
+def test_direct_oom_falls_back_to_split(rng, monkeypatch):
+    """A RESOURCE_EXHAUSTED from the direct engine above the safe-size
+    floor falls through to the Hirschberg split instead of failing (the
+    1k^3 packed-choice buffer is ~13 GB of 16 GB HBM)."""
+    import trialign.traceback.direct as D
+
+    calls = []
+
+    def boom(*a, **k):
+        calls.append(1)
+        raise RuntimeError("RESOURCE_EXHAUSTED: while allocating")
+
+    monkeypatch.setattr(H, "BASE_CELLS", 2000)
+    monkeypatch.setattr(H, "_DIRECT_SAFE_CELLS", 0)
+    monkeypatch.setattr(H, "DIRECT_CELLS", 10**9)
+    monkeypatch.setattr(D, "direct_traceback", boom)
+    la, lb, lc = 16, 18, 20
+    _check(*random_triplet(rng, la, lb, lc))
+    assert calls  # the direct engine was attempted and rejected
+
+
+def test_direct_small_oom_reraises(rng, monkeypatch):
+    """Below the safe-size floor an allocation failure is a real bug and
+    must surface, not silently recurse."""
+    import trialign.traceback.direct as D
+
+    def boom(*a, **k):
+        raise RuntimeError("RESOURCE_EXHAUSTED: while allocating")
+
+    monkeypatch.setattr(H, "BASE_CELLS", 2000)
+    monkeypatch.setattr(H, "DIRECT_CELLS", 10**9)
+    monkeypatch.setattr(D, "direct_traceback", boom)
+    a, b, c = random_triplet(rng, 16, 18, 20)
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        H.hirschberg_align(a, b, c)
+
+
 def test_rtl_and_nondefault_scoring(rng, monkeypatch):
     monkeypatch.setattr(H, "BASE_CELLS", 2000)
     sc = Scoring(match=2, mismatch=-1, gap_open=3, gap_extend=1, s3_mode="rtl")

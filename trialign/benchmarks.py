@@ -219,7 +219,8 @@ def bench_batch_mixed(n_triplets, scoring: Scoring = Scoring(),
 
     Returns (aggregate GCUPS, seconds, triplets/s).  Spot-checks
     ``parity_samples`` random scores against the NumPy oracle.  Runs the
-    mosaic tiling pipeline (2 kernel compiles total)."""
+    mosaic tiling pipeline: one canvas compile + one per tall class +
+    one shared residue kernel (see kernels/mosaic.py)."""
     from trialign.golden import align_planes_numpy
     from trialign.kernels.mosaic import align_batch_mosaic
 

@@ -37,10 +37,10 @@ from trialign.config import CONSUMES, NUM_MATRICES, OFFSETS, Scoring
 from trialign.kernels.plane_math import PLANE_DELTA, SHIFTS
 from trialign.traceback.engine import NEG
 
-# Max DP cells for the direct engine: the packed-choice buffer is roughly
-# 3 * cells * 4 B (the q axis triple-counts (j, k) planes), so this cap
-# keeps it ~2.5 GB on device.
-DIRECT_CELLS = 192 * 2**20
+# The packed-choice buffer is qq*hb*wc*4 B (~3 * cells * 4 B: the q axis
+# triple-counts (j, k) planes).  The size gate lives in
+# hirschberg.DIRECT_CELLS (env TRIALIGN_DIRECT_CELLS); callers fall back
+# to the Hirschberg split when the allocation exceeds device HBM.
 
 # Shape ladder (finer than the slab engine's near 512: 520/528 keep the
 # 512^3 buffer ~24% smaller than a 640 rung; 1040/1152 do the same for

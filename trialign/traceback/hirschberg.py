@@ -15,6 +15,7 @@ small cuboid DP with an explicit argmax walk.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -35,8 +36,17 @@ XLA_CELLS = 1 << 21
 # direct engine (traceback/direct.py): one choice-capture sweep + one
 # on-device walk, instead of recursing -- the recursion's many small
 # dispatches are round-trip-bound on the remote-TPU environment.  A 512^3
-# problem is a single direct call.
-DIRECT_CELLS = 192 * 2**20
+# problem is a single direct call; at the default cap a 1k^3 problem is
+# too (the packed-choice buffer is ~13 GB of the chip's 16 GB HBM --
+# _solve retries through the Hirschberg split if the allocation fails).
+# Override with TRIALIGN_DIRECT_CELLS.
+DIRECT_CELLS = int(os.environ.get("TRIALIGN_DIRECT_CELLS",
+                                  1100 * 2**20))
+
+# Below this many cells the packed-choice buffer is ~2.5 GB -- a failure
+# to allocate it is a real bug, not an HBM-capacity miss, so the OOM
+# fallback in _solve re-raises instead of splitting.
+_DIRECT_SAFE_CELLS = 192 * 2**20
 
 Column = Tuple[int, int, int]
 
@@ -165,14 +175,23 @@ def _solve(
 
     if cells <= DIRECT_CELLS:
         # Device-resident direct engine: choice-capture sweep + on-device
-        # walk, two dispatches total (no recursion below this point).
+        # walk, two dispatches total (no recursion below this point).  At
+        # the top of the cap the packed-choice buffer approaches the
+        # chip's HBM (1k^3 ~ 13 GB of 16): if the device cannot fit it,
+        # fall through to the Hirschberg split instead of failing.
         from trialign.traceback.direct import direct_traceback
 
         v0 = None
         if mode == "pin":
             v0 = np.full(NUM_MATRICES, NEG, dtype=np.int32)
             v0[s0] = 0
-        return direct_traceback(a, b, c, scoring, mode, v0, end_state)
+        try:
+            return direct_traceback(a, b, c, scoring, mode, v0, end_state)
+        except Exception as e:  # noqa: BLE001
+            if cells <= _DIRECT_SAFE_CELLS or "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            # Buffer did not fit: recurse (each half's buffer is half
+            # the size; the classic cap always fits).
 
     m = la // 2
     v0 = None
