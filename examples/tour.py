@@ -59,6 +59,16 @@ def main():
     assert align_planes_numpy(a, b, c) == r.score
     print("oracle parity: exact")
 
+    # --- 9. Data-parallel throughput across every local device -----------
+    # (one device here is fine; on a TPU pod slice each chip sweeps its
+    # own packed canvases -- see trialign/kernels/mosaic.py.  Mixed
+    # batches >= 64 ride the mosaic tiling engine automatically.)
+    from trialign.dist.batch import align_batch_sharded
+
+    scores = align_batch_sharded(trips)
+    assert scores == [res.score for res in trialign.align_batch(trips)]
+    print(f"sharded batch: {scores}")
+
 
 if __name__ == "__main__":
     main()
