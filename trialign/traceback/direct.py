@@ -6,11 +6,11 @@ host<->device round trip, so the ~6 s it took in round 1 was mostly tunnel
 latency, not FLOPs.  This engine removes the recursion below a size cap:
 
 * a compiled plane sweep records, per cell and per matrix, WHICH source
-  matrix achieved the max -- 7 matrices x 3 bits packed into one uint32 --
-  into a (qq, hb, wc) device buffer (plane q at (j, k) holds cell
-  (i = q-j-k, j, k), so no reshaping is ever needed).  ~2x the cost of a
-  score sweep; the buffer stays on device (~2 GB at 512^3, never crossing
-  the tunnel);
+  matrix achieved the max -- 7 matrices x 3 bits = 21 bits packed into a
+  uint16 + uint8 pair (3 B/cell) -- into (qq, hb, wc) device buffers
+  (plane q at (j, k) holds cell (i = q-j-k, j, k), so no reshaping is
+  ever needed).  ~2x the cost of a score sweep; the buffers stay on
+  device (~1.5 GB at 512^3, ~10 GB at 1k^3, never crossing the tunnel);
 * an on-device while_loop pointer chase over the packed buffer emits the
   action sequence (consuming-matrix index per alignment column) in one
   dispatch.
@@ -61,14 +61,20 @@ def _bucket(x: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("hb", "wc", "qq", "scoring", "mode", "seg"),
-    donate_argnums=(5, 6),
+    donate_argnums=(5, 6, 7),
 )
-def _choices_seg(lens, a_pad, b_pad, c_pad, v0, carry, packed, hb, wc, qq,
-                 scoring, mode, seg):
+def _choices_seg(lens, a_pad, b_pad, c_pad, v0, carry, packed_lo, packed_hi,
+                 hb, wc, qq, scoring, mode, seg):
     """One <=SEG_STEPS slice of the choice-capture sweep.
 
-    lens = (la, lb, lc, q0); carry = (p1, p2, p3, final); packed is the
-    full (qq, hb, wc) uint32 buffer, donated and updated in place."""
+    lens = (la, lb, lc, q0); carry = (p1, p2, p3, final); the packed
+    choice buffer is SPLIT for HBM headroom -- 3 bits x 7 matrices =
+    21 bits per cell stored as uint16 (matrices 0-4, bits 0-14) +
+    uint8 (matrices 5-6, bits 15-20 shifted down), 3 B/cell instead of
+    4 (a 1k^3 buffer is ~10 GB of the chip's 16 instead of ~13.4).
+    Both full (qq, hb, wc) buffers are donated and updated in place;
+    packing stays int32 compute, 16/8-bit storage only (this is the XLA
+    engine, so no Mosaic packed-int16 limitation applies)."""
     import jax.numpy as jnp
 
     from trialign.kernels.wavefront import build_askew
@@ -161,13 +167,17 @@ def _choices_seg(lens, a_pad, b_pad, c_pad, v0, carry, packed, hb, wc, qq,
             jnp.sum(jnp.where(cellmask[None], new, 0), axis=(1, 2)),
             final,
         )
-        return (new, p1, p2, final), packed_q
+        return (new, p1, p2, final), (
+            packed_q.astype(jnp.uint16),
+            (packed_q >> jnp.uint32(15)).astype(jnp.uint8),
+        )
 
-    carry, packs = jax.lax.scan(
+    carry, (packs_lo, packs_hi) = jax.lax.scan(
         step, carry, q0 + jnp.arange(1, seg + 1, dtype=jnp.int32)
     )
-    packed = jax.lax.dynamic_update_slice(packed, packs, (q0, 0, 0))
-    return carry, packed
+    packed_lo = jax.lax.dynamic_update_slice(packed_lo, packs_lo, (q0, 0, 0))
+    packed_hi = jax.lax.dynamic_update_slice(packed_hi, packs_hi, (q0, 0, 0))
+    return carry, packed_lo, packed_hi
 
 
 @functools.partial(jax.jit, static_argnames=("hb", "wc", "mode"))
@@ -192,7 +202,7 @@ def _init_carry(v0, hb, wc, mode):
 
 
 @functools.partial(jax.jit, static_argnames=("qq", "hb", "wc", "mode"))
-def _walk_device(packed, t0, lens, qq, hb, wc, mode):
+def _walk_device(packed_lo, packed_hi, t0, lens, qq, hb, wc, mode):
     """On-device pointer chase.  Returns (actions (qq,), count, stop (3,)):
     actions newest-first (matrix indices), count emitted, and the (i, j, k)
     the walk stopped at."""
@@ -211,8 +221,17 @@ def _walk_device(packed, t0, lens, qq, hb, wc, mode):
     def body(state):
         i, j, k, t, n, acts = state
         q = i + j + k
-        word = jax.lax.dynamic_slice(packed, (q - 1, j, k), (1, 1, 1))[0, 0, 0]
-        s = (word >> (jnp.uint32(3) * t.astype(jnp.uint32))) & jnp.uint32(7)
+        lo = jax.lax.dynamic_slice(
+            packed_lo, (q - 1, j, k), (1, 1, 1)
+        )[0, 0, 0].astype(jnp.uint32)
+        hi = jax.lax.dynamic_slice(
+            packed_hi, (q - 1, j, k), (1, 1, 1)
+        )[0, 0, 0].astype(jnp.uint32)
+        tu = t.astype(jnp.uint32)
+        word = jnp.where(t < 5, lo, hi)
+        shift = jnp.where(t < 5, jnp.uint32(3) * tu,
+                          jnp.uint32(3) * tu - jnp.uint32(15))
+        s = (word >> shift) & jnp.uint32(7)
         acts = jax.lax.dynamic_update_slice(acts, t[None], (n,))
         di, dj, dk = offs[t, 0], offs[t, 1], offs[t, 2]
         return (i - di, j - dj, k - dk, s.astype(jnp.int32), n + 1, acts)
@@ -259,14 +278,15 @@ def direct_traceback(
     )
 
     carry = _init_carry(v0j, hb, wc, mode)
-    packed = jnp.zeros((qq, hb, wc), jnp.uint32)
+    packed_lo = jnp.zeros((qq, hb, wc), jnp.uint16)
+    packed_hi = jnp.zeros((qq, hb, wc), jnp.uint8)
     apj, bpj, cpj = jnp.asarray(a_pad), jnp.asarray(b_pad), jnp.asarray(c_pad)
     for q0 in range(0, qq, SEG_STEPS):
         seg = min(SEG_STEPS, qq - q0)
         lens = jnp.asarray(np.array([la, lb, lc, q0], np.int32))
-        carry, packed = _choices_seg(
-            lens, apj, bpj, cpj, v0j, carry, packed, hb, wc, qq, scoring,
-            mode, seg,
+        carry, packed_lo, packed_hi = _choices_seg(
+            lens, apj, bpj, cpj, v0j, carry, packed_lo, packed_hi, hb, wc,
+            qq, scoring, mode, seg,
         )
     final = np.asarray(jax.device_get(carry[3]))
     t0 = int(end_state) if end_state is not None else int(np.argmax(final))
@@ -274,7 +294,8 @@ def direct_traceback(
 
     lens3 = jnp.asarray(np.array([la, lb, lc], np.int32))
     acts, n, stop = jax.device_get(
-        _walk_device(packed, jnp.int32(t0), lens3, qq, hb, wc, mode)
+        _walk_device(packed_lo, packed_hi, jnp.int32(t0), lens3, qq, hb, wc,
+                     mode)
     )
     n = int(n)
     acts = np.asarray(acts)[:n]
