@@ -74,7 +74,9 @@ def align(
     """Optimal alignment of three sequences.
 
     ``backend``: "auto", "golden" (NumPy), "xla", "pallas" (single-block
-    TPU kernel), "blocked" (HBM-tiled sliced sweep for long sequences).
+    TPU kernel), "blocked" (HBM-tiled sliced sweep for long sequences),
+    "native" (C++ oracle engine; with ``return_alignment`` it runs the
+    host-side choice-capture traceback).
 
     ``score_bits`` nonzero selects RTL bit-parity mode (stored scores wrap
     as signed score_bits-wide registers, the hardware's unsaturated
