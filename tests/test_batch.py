@@ -61,6 +61,27 @@ def test_api_align_batch(rng):
     assert all(r.cells == len(t[0]) * len(t[1]) * len(t[2]) for r, t in zip(results, trips))
 
 
+def test_api_align_batch_traceback(rng):
+    """Batch alignment recovery: every score optimal, every alignment
+    rescores to it, gap-stripped rows reproduce the inputs."""
+    from trialign.api import align_batch
+    from trialign.golden.numpy_model import rescore_alignment
+
+    trips = _trips(rng, 5)
+    e = np.zeros(0, dtype=np.uint8)
+    trips.append((np.ones(3, dtype=np.uint8), e, np.ones(2, dtype=np.uint8)))
+    results = align_batch(trips, return_alignment=True)
+    for (a, b, c), r in zip(trips, results):
+        assert r.score == align_planes_numpy(a, b, c)
+        if min(len(a), len(b), len(c)):
+            # A triplet with an empty sequence is ALL unscored leading
+            # context (score 0 by the zero-border semantics), so only
+            # non-degenerate alignments rescore to their own score.
+            assert rescore_alignment(r.alignment) == r.score
+        for row, seq in zip(r.alignment, (a, b, c)):
+            assert [v for v in row if v != -1] == list(map(int, seq))
+
+
 def test_batch_long_triplets_route_to_blocked(rng):
     """align_batch beyond the single-block 255 limit falls back to the
     blocked sweep instead of raising."""

@@ -182,22 +182,92 @@ def align(
     )
 
 
+# Per-problem cell cap for routing batch traceback to the C++ engine:
+# its choice buffer is 4 B/cell per in-flight problem (~256 MB at the
+# cap), and several run concurrently.
+NATIVE_TB_CELLS = 64 * 2**20
+
+
+def _align_batch_traceback(
+    triplets: Sequence, scoring: Scoring
+) -> List[AlignResult]:
+    """Batch alignment recovery: C++ engine threads for small problems,
+    the Hirschberg/direct device engine for the rest."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.perf_counter()
+    arrs = [(_prep(a), _prep(b), _prep(c)) for a, b, c in triplets]
+    out: List[Optional[AlignResult]] = [None] * len(arrs)
+
+    native_ok = False
+    if scoring.submatrix is None:
+        try:
+            from trialign.native import align_native, is_available
+
+            native_ok = is_available()
+        except Exception:  # noqa: BLE001 - toolchain missing
+            native_ok = False
+
+    def one_native(i):
+        a, b, c = arrs[i]
+        score, rows = align_native(a, b, c, scoring)
+        return i, score, rows, "native"
+
+    small = [
+        i for i, (a, b, c) in enumerate(arrs)
+        if native_ok and len(a) * len(b) * len(c) <= NATIVE_TB_CELLS
+    ]
+    if small:
+        with ThreadPoolExecutor(min(8, len(small))) as ex:
+            for i, score, rows, bk in ex.map(one_native, small):
+                out[i] = AlignResult(
+                    score=score, alignment=rows, backend=bk,
+                    cells=len(arrs[i][0]) * len(arrs[i][1]) * len(arrs[i][2]),
+                )
+    if None in out:
+        from trialign.traceback import hirschberg_align
+
+        for i, (a, b, c) in enumerate(arrs):
+            if out[i] is not None:
+                continue
+            score, rows = hirschberg_align(a, b, c, scoring)
+            out[i] = AlignResult(
+                score=score, alignment=rows, backend="hirschberg",
+                cells=len(a) * len(b) * len(c),
+            )
+    dt = time.perf_counter() - t0
+    total_cells = sum(r.cells for r in out) or 1
+    for r in out:
+        r.seconds = dt * r.cells / total_cells
+    return out  # type: ignore[return-value]
+
+
 def align_batch(
     triplets: Sequence,
     scoring: Scoring = Scoring(),
     backend: str = "auto",
+    return_alignment: bool = False,
 ) -> List[AlignResult]:
     """Align a batch of independent (a, b, c) triplets.
 
     For throughput workloads (MSA pre-alignment), prefer
     :func:`trialign.dist.batch.align_batch_sharded`, which buckets by length,
     pads, and runs data-parallel across every chip of a mesh.
+
+    ``return_alignment`` recovers every alignment: small problems run
+    concurrently through the C++ choice-capture engine (ctypes releases
+    the GIL, so OS threads parallelize the host-side DP); the rest go
+    through the device Hirschberg/direct engine.
     """
     import time
 
     import os
 
     import jax
+
+    if return_alignment:
+        return _align_batch_traceback(triplets, scoring)
 
     t0 = time.perf_counter()
     arrs = [(_prep(a), _prep(b), _prep(c)) for a, b, c in triplets]
