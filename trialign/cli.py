@@ -158,6 +158,9 @@ def cmd_batch(args) -> int:
                     f"sequences, got {len(parts)}"
                 )
             trips.append(tuple(encode(p) for p in parts))
+    if args.sharded and args.alignment:
+        raise SystemExit("--alignment is score+path recovery on the host "
+                         "path; run it without --sharded")
     if args.sharded:
         from trialign.dist.batch import align_batch_sharded
 
@@ -165,9 +168,14 @@ def cmd_batch(args) -> int:
                                                   scoring=_scoring(args))):
             print(f"{i}\t{s}")
         return 0
-    results = align_batch(trips, scoring=_scoring(args))
+    results = align_batch(trips, scoring=_scoring(args),
+                          return_alignment=args.alignment)
     for i, r in enumerate(results):
         print(f"{i}\t{r.score}")
+        if r.alignment:
+            for name, row in zip("ABC", r.alignment):
+                print(f"  {name}: "
+                      f"{decode([v if v != -1 else 255 for v in row])}")
     return 0
 
 
@@ -289,6 +297,9 @@ def main(argv=None) -> int:
                    help="data-parallel across every local device "
                         "(align_batch_sharded; mixed batches >= 64 ride "
                         "the mesh-aware mosaic engine)")
+    p.add_argument("--alignment", action="store_true",
+                   help="recover every alignment (threaded C++ engine / "
+                        "device Hirschberg; incompatible with --sharded)")
     _add_scoring_args(p)
     p.set_defaults(fn=cmd_batch)
 
