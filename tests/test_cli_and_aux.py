@@ -63,6 +63,29 @@ def test_cli_batch(tmp_path, capsys):
     assert lines[0].split("\t") == ["0", "12"]
 
 
+def test_cli_batch_alignment(tmp_path, capsys):
+    from trialign.cli import main
+
+    f = tmp_path / "trips.tsv"
+    f.write_text("ACGT ACGT ACGT\n")
+    rc = main(["batch", "--tsv", str(f), "--alignment"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.startswith("0\t12")
+    assert "A: ACGT" in out
+
+
+def test_cli_batch_sharded(tmp_path, capsys):
+    from trialign.cli import main
+
+    f = tmp_path / "trips.tsv"
+    f.write_text("ACGT ACGT ACGT\nAAAA TTTT CCCC\n")
+    rc = main(["batch", "--tsv", str(f), "--sharded"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0].split("\t") == ["0", "12"]
+
+
 def test_metrics_record():
     from trialign.metrics import RunMetrics, timed
 
