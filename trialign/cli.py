@@ -245,10 +245,20 @@ def cmd_selftest(args) -> int:
     from trialign.kernels.wavefront import align_wavefront
 
     rows.append(("pallas", align_wavefront(a, b, c, sc)))
+    from trialign.kernels.blocked import align_blocked
+
+    rows.append(("blocked", align_blocked(a, b, c, sc)))
     try:
-        from trialign.native import score_native
+        from trialign.native import align_native, score_native
 
         rows.append(("native-c++", score_native(a, b, c, sc)))
+        nscore, nrows = align_native(a, b, c, sc)
+        from trialign.golden.numpy_model import rescore_alignment
+
+        # A traceback whose rescore disagrees is a mismatch even if the
+        # score itself is right; surface it as one.
+        ok_tb = rescore_alignment(nrows, sc) == nscore
+        rows.append(("native-tb", nscore if ok_tb else 10**9))
     except Exception as e:  # toolchain may be missing
         print(f"native-c++: skipped ({e})", file=sys.stderr)
     from trialign.traceback import hirschberg_align
