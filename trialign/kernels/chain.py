@@ -155,9 +155,9 @@ def prep_hetero(triplets, dims, d):
     return a_ext, b_all, c_all, qcap, cells
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "scoring", "interpret"))
-def _hetero_core(a_ext, b_all, c_all, qcap, d, npack, dims, scoring, interpret,
-                 edge=None, askew_override=None, bct_override=None):
+def _hetero_core_impl(a_ext, b_all, c_all, qcap, d, npack, dims, scoring,
+                      interpret, edge=None, askew_override=None,
+                      bct_override=None):
     """Device core: build slot-plane tables + askew, run the fused grid
     (or the per-call scan in interpret mode), return capture planes.
 
@@ -233,6 +233,11 @@ def _hetero_core(a_ext, b_all, c_all, qcap, d, npack, dims, scoring, interpret,
         body, (srf0, cf0, caps0), jnp.arange(n_blocks, dtype=jnp.int32)
     )
     return caps
+
+
+_hetero_core = jax.jit(
+    _hetero_core_impl, static_argnames=("dims", "scoring", "interpret")
+)
 
 
 def align_chain(

@@ -377,6 +377,41 @@ _mosaic_core = jax.jit(
 )
 
 
+def _snake_perm(costs, ndata):
+    """Permutation laying jobs (padded to a multiple of ``ndata``) into
+    contiguous per-device chunks with snake-balanced cost: shard_map hands
+    each device a contiguous block, and the fleet's wall time is the
+    slowest device."""
+    order = sorted(range(len(costs)), key=lambda i: -costs[i])
+    chunks = [[] for _ in range(ndata)]
+    for r, i in enumerate(order):
+        dev = r % ndata if (r // ndata) % 2 == 0 else ndata - 1 - r % ndata
+        chunks[dev].append(i)
+    return [i for ch in chunks for i in ch]
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_chain_fn(dims, scoring, interpret, mesh):
+    """Compiled data-parallel hetero-chain executor: stacked (K, ...)
+    chain inputs of ONE geometry class shard across the mesh 'data'
+    axis, each device lax.map-ing its chunk (d and npack are runtime
+    scalars, so every chain of the class shares the compile)."""
+    from jax.sharding import PartitionSpec as P
+
+    def per_device(a_ext, b_all, c_all, qcap, d, npack):
+        def one(args):
+            return CH._hetero_core_impl(*args, dims=dims, scoring=scoring,
+                                        interpret=interpret)
+
+        return jax.lax.map(one, (a_ext, b_all, c_all, qcap, d, npack))
+
+    spec = P("data")
+    return jax.jit(jax.shard_map(
+        per_device, mesh=mesh, in_specs=(spec,) * 6, out_specs=spec,
+        check_vma=False,
+    ))
+
+
 @functools.lru_cache(maxsize=None)
 def _sharded_canvas_fn(dims, scoring, interpret, mesh, nloc):
     """Compiled data-parallel canvas executor: the stacked (K, ...)
@@ -458,6 +493,8 @@ def align_batch_mosaic(
                 by_class[si].append((i, rt))
             else:
                 blocked_residue.append((i, rt))
+        ndata_t = mesh.shape.get("data", 1) if mesh is not None else 1
+        interp_t = jax.default_backend() != "tpu"
         for si, chainable in by_class.items():
             if not chainable:
                 continue
@@ -466,6 +503,7 @@ def align_batch_mosaic(
             # la >= mid > canvas rows, so the pitch floor allows 4 bands.
             dims_t = CH.plan_hetero(la_cap, t_hb - 1, t_wc - 2, CH_P_CAP,
                                     t_hb, t_wc, t_unb, nb=4)
+            jobs = []
             for chain in CH.pack_chains(chainable, max_p=CH_P_CAP):
                 la_max = max(len(rt[0]) for _, rt in chain)
                 # nb=4 requires S // d <= 2, i.e. d >= S // 3 + 1
@@ -474,11 +512,38 @@ def align_batch_mosaic(
                 a_ext, b_all, c_all, qcap, cells = CH.prep_hetero(
                     [rt for _, rt in chain], dims_t, dd
                 )
+                jobs.append((a_ext, b_all, c_all, qcap, dd, len(chain),
+                             chain, cells))
+            if ndata_t > 1 and len(jobs) > 1:
+                # ~half the mixed-batch work is tall: spread the class's
+                # chains over the mesh like the canvas dispatches.
+                k = len(jobs)
+                padded_j = jobs + [jobs[0]] * (-k % ndata_t)
+                perm = _snake_perm([j[4] * j[5] for j in padded_j], ndata_t)
+                padded_j = [padded_j[i] for i in perm]
+                fn = _sharded_chain_fn(dims_t, scoring, interp_t, mesh)
+                caps_all = fn(
+                    jnp.asarray(np.stack([j[0] for j in padded_j])),
+                    jnp.asarray(np.stack([j[1] for j in padded_j])),
+                    jnp.asarray(np.stack([j[2] for j in padded_j])),
+                    jnp.asarray(np.stack([j[3] for j in padded_j])),
+                    jnp.asarray([j[4] for j in padded_j], dtype=jnp.int32),
+                    jnp.asarray([j[5] for j in padded_j], dtype=jnp.int32),
+                )
+                for row, pi in enumerate(perm):
+                    if pi >= k:
+                        continue  # padding copy
+                    _, _, _, _, _, _, chain, cells = jobs[pi]
+                    blks = jnp.asarray([c[0] for c in cells])
+                    jls = jnp.asarray([c[1] for c in cells])
+                    kls = jnp.asarray([c[2] for c in cells])
+                    tall_pending.append((chain, caps_all[row, blks, jls, kls]))
+                continue
+            for a_ext, b_all, c_all, qcap, dd, npk, chain, cells in jobs:
                 caps = CH._hetero_core(
                     jnp.asarray(a_ext), jnp.asarray(b_all),
                     jnp.asarray(c_all), jnp.asarray(qcap), jnp.int32(dd),
-                    jnp.int32(len(chain)), dims_t, scoring,
-                    jax.default_backend() != "tpu",
+                    jnp.int32(npk), dims_t, scoring, interp_t,
                 )
                 blks = jnp.asarray([c[0] for c in cells])
                 jls = jnp.asarray([c[1] for c in cells])
@@ -548,14 +613,7 @@ def align_batch_mosaic(
         k = len(preps)
         padded = preps + [preps[0]] * (-k % ndata)
         nloc = len(padded) // ndata
-        order = sorted(range(len(padded)),
-                       key=lambda i: -padded[i][1] * padded[i][2])
-        chunks = [[] for _ in range(ndata)]
-        for r, i in enumerate(order):
-            dev = r % ndata if (r // ndata) % 2 == 0 else ndata - 1 - r % ndata
-            chunks[dev].append(i)
-        perm = [i for ch in chunks for i in ch]
-        assert all(len(ch) == nloc for ch in chunks)
+        perm = _snake_perm([p[1] * p[2] for p in padded], ndata)
         padded = [padded[i] for i in perm]
         stack = [
             np.stack([p[0][f] for p in padded]) for f in range(7)
