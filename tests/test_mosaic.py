@@ -126,7 +126,8 @@ def test_mosaic_sharded_canvas(rng, small_canvas):
         trips.append(_rt(rng, int(rng.integers(4, 9)),
                          int(rng.integers(50, 70)),
                          int(rng.integers(90, 125))))
-    trips.append(_rt(rng, 90, 90, 200))   # blocked residue
+    trips.append(_rt(rng, 90, 90, 200))   # blocked residue (fleet of 2)
+    trips.append(_rt(rng, 80, 85, 150))
     got = M.align_batch_mosaic(trips, mesh=mesh)
     assert got == [align_planes_numpy(*t) for t in trips]
 

@@ -972,8 +972,7 @@ def _blocked_core_scan(lens, a_ext, b_arr, c_arr, dims, scoring, interpret):
     return res
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "scoring", "interpret"))
-def _blocked_core(lens, a_ext, b_arr, c_arr, dims, scoring, interpret):
+def _blocked_core_impl(lens, a_ext, b_arr, c_arr, dims, scoring, interpret):
     if interpret:
         return _blocked_core_scan(lens, a_ext, b_arr, c_arr, dims, scoring, interpret)
     hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims[:11]
@@ -1025,6 +1024,26 @@ def _blocked_core(lens, a_ext, b_arr, c_arr, dims, scoring, interpret):
     grid_call = make_grid_call(dims, scoring, interpret)
     _, _, res = grid_call(scal_tab, askew, bptab, cptab, zeros, srf0, cf0)
     return res
+
+
+_blocked_core = jax.jit(
+    _blocked_core_impl, static_argnames=("dims", "scoring", "interpret")
+)
+
+
+def prep_blocked(a, b, c, dims):
+    """Host arrays for one blocked problem under ``dims`` (which may be
+    planned at padded length caps; runtime ``lens`` stay exact)."""
+    la, lb, lc = len(a), len(b), len(c)
+    _, _, lab, _, _, _, kdim, jdim, _, _, _ = dims[:11]
+    a_ext = np.full(lab + 2, PAD_SYMBOL, dtype=np.int32)
+    a_ext[1 : la + 1] = a
+    b_arr = np.full(jdim + dims[0] + 8, PAD_SYMBOL - 1, dtype=np.int32)
+    b_arr[1 : lb + 1] = b
+    c_arr = np.full(kdim + dims[1] + 8, PAD_SYMBOL - 2, dtype=np.int32)
+    c_arr[1 : lc + 1] = c
+    lens = np.array([la, lb, lc], dtype=np.int32)
+    return lens, a_ext, b_arr, c_arr
 
 
 def align_blocked(
@@ -1081,15 +1100,7 @@ def align_blocked_async(
     else:
         hb, wc, unb = choose_block_shape(pla, plb, plc)
     dims = plan_dims(pla, plb, plc, hb, wc, unb)
-    _, _, lab, _, _, _, kdim, jdim, _, _, _ = dims[:11]
-
-    a_ext = np.full(lab + 2, PAD_SYMBOL, dtype=np.int32)
-    a_ext[1 : la + 1] = a
-    b_arr = np.full(jdim + hb + 8, PAD_SYMBOL - 1, dtype=np.int32)
-    b_arr[1 : lb + 1] = b
-    c_arr = np.full(kdim + wc + 8, PAD_SYMBOL - 2, dtype=np.int32)
-    c_arr[1 : lc + 1] = c
-    lens = np.array([la, lb, lc], dtype=np.int32)
+    lens, a_ext, b_arr, c_arr = prep_blocked(a, b, c, dims)
 
     res = _blocked_core(
         jnp.asarray(lens),

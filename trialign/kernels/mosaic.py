@@ -413,6 +413,32 @@ def _sharded_chain_fn(dims, scoring, interpret, mesh):
 
 
 @functools.lru_cache(maxsize=None)
+def _sharded_blocked_fn(dims, scoring, interpret, mesh):
+    """Compiled data-parallel blocked-residue executor: all residue
+    problems share one ``plan_lens``-capped geometry, so their (K, ...)
+    host arrays shard across the mesh 'data' axis and each device
+    lax.maps its chunk, returning one score per problem."""
+    from jax.sharding import PartitionSpec as P
+
+    from trialign.config import NUM_MATRICES
+    from trialign.kernels import blocked as BKm
+
+    def per_device(lens, a_ext, b_arr, c_arr):
+        def one(args):
+            res = BKm._blocked_core_impl(*args, dims=dims, scoring=scoring,
+                                         interpret=interpret)
+            return res[:NUM_MATRICES, 0].max()
+
+        return jax.lax.map(one, (lens, a_ext, b_arr, c_arr))
+
+    spec = P("data")
+    return jax.jit(jax.shard_map(
+        per_device, mesh=mesh, in_specs=(spec,) * 4, out_specs=spec,
+        check_vma=False,
+    ))
+
+
+@functools.lru_cache(maxsize=None)
 def _sharded_canvas_fn(dims, scoring, interpret, mesh, nloc):
     """Compiled data-parallel canvas executor: the stacked (K, ...)
     dispatch arrays shard across the mesh 'data' axis; every device runs
@@ -560,6 +586,7 @@ def align_batch_mosaic(
         # shares ONE compiled kernel across all of them (~22 distinct
         # shapes otherwise on a mixed 1024-triplet batch) for ~7% more
         # masked sweep planes.
+        from trialign.kernels import blocked as BK2
         from trialign.kernels.blocked import align_blocked_async
 
         if not blocked_residue:
@@ -567,6 +594,23 @@ def align_batch_mosaic(
         caps = tuple(
             max(len(rt[ax]) for _, rt in blocked_residue) for ax in range(3)
         )
+        ndata_b = mesh.shape.get("data", 1) if mesh is not None else 1
+        if ndata_b > 1 and len(blocked_residue) > 1:
+            # Same fleet treatment as the canvas/tall dispatches: the
+            # shared plan_lens geometry makes the stack homogeneous.
+            interp_b = jax.default_backend() != "tpu"
+            shape = BK2.choose_block_shape(*caps)
+            dims_b = BK2.plan_dims(*caps, *shape)
+            rows = [BK2.prep_blocked(rt[0], rt[1], rt[2], dims_b)
+                    for _, rt in blocked_residue]
+            k = len(rows)
+            rows = rows + [rows[0]] * (-k % ndata_b)
+            fn = _sharded_blocked_fn(dims_b, scoring, interp_b, mesh)
+            scores_dev = fn(*(jnp.asarray(np.stack([r[f] for r in rows]))
+                              for f in range(4)))
+            for row, (i, _) in enumerate(blocked_residue):
+                blocked_pending.append((i, scores_dev[row]))
+            return
         for i, rt in blocked_residue:
             blocked_pending.append(
                 (i, align_blocked_async(rt[0], rt[1], rt[2], scoring,
