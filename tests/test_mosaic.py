@@ -119,15 +119,15 @@ def test_mosaic_sharded_canvas(rng, small_canvas):
     mesh = default_mesh()
     assert mesh.shape["data"] >= 2
     trips = [_rt(rng, int(rng.integers(3, 12)), int(rng.integers(4, 16)),
-                 int(rng.integers(4, 30))) for _ in range(20)]
-    # 9 tall problems -> 3 chains at CH_P_CAP=4: exercises the sharded
+                 int(rng.integers(4, 30))) for _ in range(8)]
+    # 5 tall problems -> 2 chains at CH_P_CAP=4: exercises the sharded
     # tall-chain fleet (stack + snake-balance) alongside the canvas.
-    for _ in range(9):
+    for _ in range(5):
         trips.append(_rt(rng, int(rng.integers(4, 9)),
-                         int(rng.integers(50, 70)),
-                         int(rng.integers(90, 125))))
-    trips.append(_rt(rng, 90, 90, 200))   # blocked residue (fleet of 2)
-    trips.append(_rt(rng, 80, 85, 150))
+                         int(rng.integers(50, 64)),
+                         int(rng.integers(80, 110))))
+    trips.append(_rt(rng, 80, 85, 110))   # blocked residue (fleet of 2)
+    trips.append(_rt(rng, 70, 82, 95))
     got = M.align_batch_mosaic(trips, mesh=mesh)
     assert got == [align_planes_numpy(*t) for t in trips]
 
