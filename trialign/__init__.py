@@ -24,8 +24,8 @@ def __getattr__(name):
         from trialign.resilience import align_resilient
 
         return align_resilient
-    if name == "align_batch_bucketed":
-        from trialign.dist.batch import align_batch_bucketed
+    if name in ("align_batch_bucketed", "align_batch_sharded"):
+        from trialign.dist import batch
 
-        return align_batch_bucketed
+        return getattr(batch, name)
     raise AttributeError(f"module 'trialign' has no attribute {name!r}")
