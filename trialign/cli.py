@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -277,6 +278,13 @@ def cmd_selftest(args) -> int:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="trialign", description=__doc__)
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="pin the JAX platform to CPU before any backend initializes "
+        "(also via TRIALIGN_FORCE_CPU=1).  On hosts with a remote-TPU "
+        "plugin, a broken tunnel hangs backend init forever; this is the "
+        "escape hatch",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("align", help="align one triplet")
@@ -328,6 +336,12 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_selftest)
 
     args = ap.parse_args(argv)
+    if args.cpu or os.environ.get("TRIALIGN_FORCE_CPU") == "1":
+        # Before any backend initialization (the command functions import
+        # jax lazily); mirrors bench.py's forced-CPU child mode.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     return args.fn(args)
 
 

@@ -62,9 +62,13 @@ DEF_UNB = 8
 VMEM_DEFAULT_CAP = 16 * 2**20
 
 
-def _vmem_limit_for(dims):
+def _vmem_limit_for(dims, live_planes=16):
     """vmem_limit_bytes for a geometry: None when the default 16 MB cap
     suffices (fast compiles), else the estimated requirement plus margin.
+
+    ``live_planes``: resident (hb, wc) state planes -- 16 for the score
+    sweep (7 p1 + 7 p2 + 2 max7 carries); the slab-capture kernels
+    (kernels/slab.py) carry more.
 
     Keep requests honest AND under physical VMEM: a limit beyond what the
     chip has makes Mosaic silently SPILL scratch to HBM (S(1) buffers),
@@ -81,7 +85,7 @@ def _vmem_limit_for(dims):
                + 2 * (hb + len(dims[14]) * unb if len(dims) > 14 else hb + unb) * wc
                + 2 * 8 * unb * (2 * wc + 2 * hbp + hb)) * 4
     else:
-        est = ((16 + 2 * unb) * hb * wc + 2 * (hb + unb) * wc
+        est = ((live_planes + 2 * unb) * hb * wc + 2 * (hb + unb) * wc
                + 2 * 8 * unb * (2 * wc + 2 * hbp + hb)) * 4
     if est <= VMEM_DEFAULT_CAP - 2 * 2**20:
         return None
@@ -93,14 +97,16 @@ def _round_up(x, m):
 
 
 def choose_block_shape(la: int, lb: int, lc: int,
-                       vmem_budget: int = 13 * 2**20) -> Tuple[int, int, int]:
+                       vmem_budget: int = 13 * 2**20,
+                       live_planes: int = 16) -> Tuple[int, int, int]:
     """Pick (hb, wc, unb) minimizing total plane-work under the VMEM budget.
 
     The sweep is ALU-bound, so total vector work is the cost model; padding
     waste from ceil(lb/tb) is what this avoids (e.g. 1024/255 -> 5 block
     rows where 1024/263 -> 4).  The macro-step unb trades per-macro
     overhead (the fixed term) against ~2 live planes of VMEM per unrolled
-    step."""
+    step.  ``live_planes``: resident state planes (16 for the score sweep;
+    the slab-capture kernels carry more)."""
     best = None
     lab = _round_up(max(la, 16), 16)
     # Measured per-plane cost model on v5e: fixed overhead ~20k cell-
@@ -120,7 +126,8 @@ def choose_block_shape(la: int, lb: int, lc: int,
                 # Live plane count measured on v5e: 16 carried + ~2 per
                 # unrolled step of Mosaic stack temporaries; plus the DMA
                 # rings (the symbol skew streams from HBM).
-                vmem = ((16 + 2 * unb) * hb * wc + 2 * (hb + unb) * wc
+                vmem = ((live_planes + 2 * unb) * hb * wc
+                        + 2 * (hb + unb) * wc
                         + 2 * 8 * unb * (2 * wc + 2 * hbp + hb)) * 4
                 if vmem > vmem_budget:
                     continue

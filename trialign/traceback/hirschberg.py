@@ -48,13 +48,47 @@ DIRECT_CELLS = int(os.environ.get("TRIALIGN_DIRECT_CELLS",
 # fallback in _solve re-raises instead of splitting.
 _DIRECT_SAFE_CELLS = 192 * 2**20
 
+# Above this many cells, freeish slab sweeps run on the blocked Pallas
+# slab kernels (kernels/slab.py: planes in VMEM, faces in HBM) instead of
+# the XLA twin engine, which is HBM-bound at well under 1 GCUPS.  Only the
+# splits ABOVE the direct-engine cap ever sweep at this size (2k^3+); pin
+# mode stays on the XLA engine (its subproblems sit below DIRECT_CELLS).
+# Override with TRIALIGN_SLAB_PALLAS_CELLS; TRIALIGN_SLAB_FORCE=1 routes
+# every eligible sweep (tests).
+SLAB_PALLAS_CELLS = int(
+    os.environ.get("TRIALIGN_SLAB_PALLAS_CELLS", 256 * 2**20)
+)
+
 Column = Tuple[int, int, int]
+
+
+def _use_pallas_slab(la: int, lb: int, lc: int, scoring) -> bool:
+    if os.environ.get("TRIALIGN_SLAB_FORCE") == "1":
+        return True
+    if scoring.submatrix is not None or min(la, lb, lc) < 1:
+        return False
+    if (la + 1) * (lb + 1) * (lc + 1) < SLAB_PALLAS_CELLS:
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def _fwd_slab_async(a, b, c, scoring, mode, v0, capture_m):
     """forward_sweep dispatch: compiled engine for big slabs.  Returns a
     zero-arg fetch function so a node's sweeps can all be in flight before
     any result is pulled back (saves one tunnel round trip per sweep)."""
+    if (
+        mode in ("free", "free_jk")
+        and v0 is None
+        and (capture_m is None or capture_m == len(a))
+        and _use_pallas_slab(len(a), len(b), len(c), scoring)
+    ):
+        from trialign.kernels.slab import forward_slab_blocked_async
+
+        return forward_slab_blocked_async(
+            a, b, c, scoring, mode=mode, want_slab=capture_m is not None
+        )
     if (len(a) + 1) * (len(b) + 1) * (len(c) + 1) >= XLA_CELLS:
         from trialign.traceback.xla_engine import forward_sweep_xla_async
 
@@ -68,6 +102,12 @@ def _fwd_slab_async(a, b, c, scoring, mode, v0, capture_m):
 
 
 def _bwd_slab_async(a_suffix, b, c, scoring, end_v):
+    if _use_pallas_slab(len(a_suffix), len(b), len(c), scoring):
+        from trialign.kernels.slab import backward_slab_blocked_async
+
+        return backward_slab_blocked_async(
+            a_suffix, b, c, scoring, end_v=end_v
+        )
     if (len(a_suffix) + 1) * (len(b) + 1) * (len(c) + 1) >= XLA_CELLS:
         from trialign.traceback.xla_engine import backward_slab_xla_async
 
@@ -203,21 +243,37 @@ def _solve(
         end_v[:] = NEG
         end_v[end_state] = 0
     # Dispatch every sweep this node needs before fetching any result.
-    f_fetch = _fwd_slab_async(a[:m], b, c, scoring, mode, v0, m)
-    g_fetch = _bwd_slab_async(a[m:], b, c, scoring, end_v)
-    h_fetch = (
-        _fwd_slab_async(a[m:], b, c, scoring, "free_jk", None, None)
-        if freeish
-        else None
-    )
-    _, f_slab = f_fetch()
-    g_slab = g_fetch()
+    if v0 is None and _use_pallas_slab(la, lb, lc, scoring):
+        # Blocked Pallas sweeps with the F + G argmax fused on device:
+        # only the crossing's coordinates cross the host link (at 2k^3
+        # the two slabs are ~118 MB each -- a multi-second tunnel fetch).
+        from trialign.kernels.slab import split_point_blocked_async
 
-    total = f_slab.astype(np.int64) + g_slab.astype(np.int64)
-    flat = int(np.argmax(total))
-    sstar, jstar, kstar = np.unravel_index(flat, total.shape)
-    sstar, jstar, kstar = int(sstar), int(jstar), int(kstar)
-    score = int(total[sstar, jstar, kstar])
+        sp_fetch = split_point_blocked_async(
+            a, b, c, m, scoring, mode=mode, end_v=end_v
+        )
+        h_fetch = (
+            _fwd_slab_async(a[m:], b, c, scoring, "free_jk", None, None)
+            if freeish
+            else None
+        )
+        sstar, jstar, kstar, score = sp_fetch()
+    else:
+        f_fetch = _fwd_slab_async(a[:m], b, c, scoring, mode, v0, m)
+        g_fetch = _bwd_slab_async(a[m:], b, c, scoring, end_v)
+        h_fetch = (
+            _fwd_slab_async(a[m:], b, c, scoring, "free_jk", None, None)
+            if freeish
+            else None
+        )
+        _, f_slab = f_fetch()
+        g_slab = g_fetch()
+
+        total = f_slab.astype(np.int64) + g_slab.astype(np.int64)
+        flat = int(np.argmax(total))
+        sstar, jstar, kstar = np.unravel_index(flat, total.shape)
+        sstar, jstar, kstar = int(sstar), int(jstar), int(kstar)
+        score = int(total[sstar, jstar, kstar])
 
     if freeish:
         # Free j/k borders admit paths that start at i0 > m on a border face
