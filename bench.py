@@ -251,6 +251,29 @@ def stage_traceback_1k():
     return {"traceback_1k_s": round(best, 3)}
 
 
+def stage_traceback_2k():
+    """Full alignment at 2k^3: the Hirschberg top split runs on the
+    blocked Pallas slab kernels (kernels/slab.py), the halves on the
+    direct engine -- the scale the XLA slab engine could not reach."""
+    import time as _t
+
+    import numpy as np
+
+    from trialign.api import align
+    from trialign.golden.numpy_model import rescore_alignment
+
+    rng = np.random.default_rng(13)
+    a, b, c = (rng.integers(0, 4, 2048).astype(np.uint8) for _ in range(3))
+    res = align(a, b, c, return_alignment=True)  # compile + warm
+    assert rescore_alignment(res.alignment) == res.score
+    t0 = _t.perf_counter()
+    align(a, b, c, return_alignment=True)
+    best = _t.perf_counter() - t0
+    log(f"2k^3 FULL alignment (score + traceback, warm): {best:.2f} s "
+        "(rescore-validated)")
+    return {"traceback_2k_s": round(best, 3)}
+
+
 def stage_roofline():
     from trialign import benchmarks as B
     from trialign.config import Scoring
@@ -287,6 +310,7 @@ STAGE_FNS = {
     "chain_1k": stage_chain_1k,
     "traceback_512": stage_traceback_512,
     "traceback_1k": stage_traceback_1k,
+    "traceback_2k": stage_traceback_2k,
     "roofline": stage_roofline,
     "single_stream_255": stage_single_stream_255,
 }
@@ -310,6 +334,7 @@ TPU_STAGES = [
     ("blocked_2k", 330),
     ("traceback_1k", 300),
     ("roofline", 120),
+    ("traceback_2k", 500),
     ("parity_fixtures", 450),
     ("single_stream_255", 150),
 ]
@@ -336,7 +361,11 @@ class Runner:
         return self.budget - self.elapsed()
 
     def emit(self):
-        from trialign.benchmarks import BASELINE_ASIC_GCUPS
+        # Inlined from trialign.benchmarks.BASELINE_ASIC_GCUPS (asserted
+        # equal by tests/test_bench_script.py) -- the parent must never
+        # import jax: with the tunnel down, any jax-importing process can
+        # hang in axon client init.
+        BASELINE_ASIC_GCUPS = 12.4
 
         f = self.fields
         if "blocked_1024_gcups" in f:
@@ -387,6 +416,13 @@ class Runner:
         env = dict(os.environ)
         if extra_env:
             env.update(extra_env)
+        if env.get("TRIALIGN_FORCE_CPU") == "1":
+            # The axon sitecustomize calls register() at EVERY interpreter
+            # start while PALLAS_AXON_POOL_IPS is set -- with the tunnel
+            # down that can hang for minutes BEFORE child_main() runs.
+            # Unsetting it skips axon registration entirely for the
+            # CPU-forced child (measured: import jax 120 s -> 1 s).
+            env.pop("PALLAS_AXON_POOL_IPS", None)
         if self.remaining() < 300.0:
             env["TRIALIGN_ROOFLINE_LIVE"] = "0"
         t0 = time.time()

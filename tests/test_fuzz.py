@@ -78,7 +78,35 @@ def test_api_score_bits_routing(rng):
         "xla", "pallas", "pallas_interpret"
     )
     with pytest.raises(ValueError, match="score_bits"):
-        align(a, b, c, backend="blocked", score_bits=12)
+        align(a, b, c, backend="native", score_bits=12)
+
+
+def test_fuzz_score_bits_blocked_matches_golden(rng):
+    """RTL bit-parity mode on the blocked (sliced) backend -- the regime
+    where the hardware's wraparound actually occurs: scores past 2^11 need
+    sequences beyond the single-block kernel's 255 cap, which only this
+    backend sweeps (reference: src/TriAlign_1cyc.v:6; PARITY.md quirk 3).
+    Wrapped stored planes flow through the halo faces too (multi-block
+    shape)."""
+    from trialign.kernels.blocked import align_blocked
+
+    for trial in range(4):
+        a, b, c = random_triplet(rng, 20, 30, 150,
+                                 nsym=int(rng.integers(2, 5)))
+        sc = SCORINGS[trial % len(SCORINGS)]
+        for bits in (6, 12):
+            want = align_planes_numpy(a, b, c, sc, score_bits=bits)
+            got = align_blocked(a, b, c, sc, block_shape=(24, 128),
+                                score_bits=bits)
+            assert got == want, (trial, bits, got, want)
+    # Real 6-bit overflow through the blocked path: wrapped matches golden
+    # AND differs from the clean score.
+    seq = np.full(40, 2, np.uint8)
+    clean = align_planes_numpy(seq, seq, seq)
+    wrapped = align_planes_numpy(seq, seq, seq, score_bits=6)
+    assert align_blocked(seq, seq, seq, block_shape=(24, 128),
+                         score_bits=6) == wrapped
+    assert wrapped != clean
 
 
 def test_fuzz_score_bits_pallas_matches_golden(rng):

@@ -81,8 +81,8 @@ def align(
     ``score_bits`` nonzero selects RTL bit-parity mode (stored scores wrap
     as signed score_bits-wide registers, the hardware's unsaturated
     SCORE_BITS=12 behavior; reference: src/TriAlign_1cyc.v:6).  Supported
-    by the "golden", "xla" and "pallas" backends; "auto" picks "pallas"
-    on TPU for in-capacity problems, else "xla".
+    by the "golden", "xla", "pallas" and "blocked" backends; "auto" picks
+    "pallas"/"blocked" on TPU by problem size, else "xla".
     """
     import time
 
@@ -96,12 +96,13 @@ def align(
             raise ValueError("score_bits mode is score-only (no traceback)")
         if backend == "auto":
             backend = _pick_backend(la, lb, lc)
-            if backend not in ("pallas", "pallas_interpret"):
+            if backend not in ("pallas", "pallas_interpret", "blocked"):
                 backend = "xla"
-        if backend not in ("golden", "xla", "pallas", "pallas_interpret"):
+        if backend not in ("golden", "xla", "pallas", "pallas_interpret",
+                           "blocked"):
             raise ValueError(
                 f"score_bits wraparound is implemented by the 'golden', "
-                f"'xla' and 'pallas' backends, not {backend!r}"
+                f"'xla', 'pallas' and 'blocked' backends, not {backend!r}"
             )
 
     if return_alignment:
@@ -166,7 +167,7 @@ def align(
     elif backend == "blocked":
         from trialign.kernels.blocked import align_blocked
 
-        score = align_blocked(a, b, c, scoring)
+        score = align_blocked(a, b, c, scoring, score_bits=score_bits)
     elif backend == "native":
         from trialign.native import score_native
 

@@ -206,6 +206,7 @@ def _block_sweep(
     wr_sem,
     ak_sem,
     hetero=None,
+    score_bits=0,
 ):
     """One block pillar's full q-sweep (shared by the per-call and fused-grid
     kernels).  ``scalars`` = (jb, kb, qstar, jlstar, klstar) traced int32;
@@ -513,6 +514,18 @@ def _block_sweep(
             cands, m7p1 = fused_plane_update_m7(
                 p1, p2, m7p3, subs, groups, jnp.maximum, roll1
             )
+            if score_bits:
+                # RTL bit-parity mode: every stored value wraps to a
+                # signed score_bits-wide register (the hardware's
+                # unsaturated SCORE_BITS=12, reference:
+                # src/TriAlign_1cyc.v:6; PARITY.md quirk 3).  Wrap BEFORE
+                # the border mask, matching the golden emulation and the
+                # wavefront kernel; staged faces and the carried max7
+                # then derive from wrapped stored planes, exactly the
+                # RTL's MAX7 over its wrapped registers.
+                half = jnp.int32(1 << (score_bits - 1))
+                lowmask = jnp.int32((1 << score_bits) - 1)
+                cands = tuple(((c + half) & lowmask) - half for c in cands)
             # Not-yet-reached cells (i < 1) must stay 0 -- they are
             # the zero borders future planes read.  In chain mode, slot
             # borders i = m*CHD are additional zero faces.
@@ -649,7 +662,7 @@ def _scratch_shapes(hb, wc, unb):
     ]
 
 
-def _make_block_kernel(dims: Tuple, scoring: Scoring):
+def _make_block_kernel(dims: Tuple, scoring: Scoring, score_bits: int = 0):
     """Per-call kernel: one block per pallas_call (multi-chip halo mode)."""
 
     def kernel(scal_ref, askew_ref, bp_ref, cp_ref, zeros_ref, srf_in, cf_in,
@@ -657,13 +670,14 @@ def _make_block_kernel(dims: Tuple, scoring: Scoring):
         scalars = tuple(scal_ref[i] for i in (3, 4, 5, 6, 7))
         _block_sweep(
             dims, scoring, scalars, askew_ref, bp_ref[:], cp_ref[:],
-            zeros_ref[:], srf_in, cf_in, srf_out, cf_out, out_ref, *scratch
+            zeros_ref[:], srf_in, cf_in, srf_out, cf_out, out_ref, *scratch,
+            score_bits=score_bits,
         )
 
     return kernel
 
 
-def make_block_call(dims: Tuple, n_srf_slabs: int, n_cf_slabs: int, scoring: Scoring, interpret: bool):
+def make_block_call(dims: Tuple, n_srf_slabs: int, n_cf_slabs: int, scoring: Scoring, interpret: bool, score_bits: int = 0):
     """Build the per-block pallas_call with the given face-slab counts.
 
     Used by the multi-chip halo mode (local row slabs, one travelling
@@ -673,7 +687,7 @@ def make_block_call(dims: Tuple, n_srf_slabs: int, n_cf_slabs: int, scoring: Sco
 
     hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims[:11]
     nout = max(8, dims[12]) if len(dims) > 11 else 8
-    kernel = _make_block_kernel(dims, scoring)
+    kernel = _make_block_kernel(dims, scoring, score_bits)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -714,7 +728,7 @@ def make_block_call(dims: Tuple, n_srf_slabs: int, n_cf_slabs: int, scoring: Sco
     )
 
 
-def _make_grid_kernel(dims: Tuple, scoring: Scoring):
+def _make_grid_kernel(dims: Tuple, scoring: Scoring, score_bits: int = 0):
     """Fused kernel: the whole block grid as grid=(n_blocks,); face slabs
     stay in HBM across blocks (no inter-call copies, no dispatch)."""
 
@@ -724,19 +738,21 @@ def _make_grid_kernel(dims: Tuple, scoring: Scoring):
         scalars = tuple(scal_ref[0, 0, i] for i in (3, 4, 5, 6, 7))
         _block_sweep(
             dims, scoring, scalars, askew_ref, bp_ref[0], cp_ref[0],
-            zeros_ref[:], srf_in, cf_in, srf_out, cf_out, out_ref, *scratch
+            zeros_ref[:], srf_in, cf_in, srf_out, cf_out, out_ref, *scratch,
+            score_bits=score_bits,
         )
 
     return kernel
 
 
-def make_grid_call(dims: Tuple, scoring: Scoring, interpret: bool):
+def make_grid_call(dims: Tuple, scoring: Scoring, interpret: bool,
+                   score_bits: int = 0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims[:11]
     nout = max(8, dims[12]) if len(dims) > 11 else 8
-    kernel = _make_grid_kernel(dims, scoring)
+    kernel = _make_grid_kernel(dims, scoring, score_bits)
     n_blocks = n_jb * n_kb
 
     return pl.pallas_call(
@@ -922,8 +938,11 @@ def _build_askew_blocked(a_ext, qqb, hb, wc, unb=DEF_UNB):
     return build_askew(a_ext, qqb, qqb + hb + unb, wc)
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "scoring", "interpret"))
-def _blocked_core_scan(lens, a_ext, b_arr, c_arr, dims, scoring, interpret):
+@functools.partial(
+    jax.jit, static_argnames=("dims", "scoring", "interpret", "score_bits")
+)
+def _blocked_core_scan(lens, a_ext, b_arr, c_arr, dims, scoring, interpret,
+                       score_bits=0):
     """Per-call fallback: one pallas_call per block, scanned.  Used in
     interpret mode, where the fused grid's input/output aliasing is not
     threaded across grid steps (each step would see the original input
@@ -933,7 +952,8 @@ def _blocked_core_scan(lens, a_ext, b_arr, c_arr, dims, scoring, interpret):
     la, lb, lc = lens[0], lens[1], lens[2]
     askew = _build_askew_blocked(a_ext, qqb, hb, wc, unb)
     zeros = jnp.zeros((hb, wc), jnp.int32)
-    block_call = make_block_call(dims, n_kb, n_jb, scoring, interpret)
+    block_call = make_block_call(dims, n_kb, n_jb, scoring, interpret,
+                                 score_bits)
 
     jbstar = (lb - 1) // tb
     kbstar = (lc - 1) // tc
@@ -979,9 +999,11 @@ def _blocked_core_scan(lens, a_ext, b_arr, c_arr, dims, scoring, interpret):
     return res
 
 
-def _blocked_core_impl(lens, a_ext, b_arr, c_arr, dims, scoring, interpret):
+def _blocked_core_impl(lens, a_ext, b_arr, c_arr, dims, scoring, interpret,
+                       score_bits=0):
     if interpret:
-        return _blocked_core_scan(lens, a_ext, b_arr, c_arr, dims, scoring, interpret)
+        return _blocked_core_scan(lens, a_ext, b_arr, c_arr, dims, scoring,
+                                  interpret, score_bits)
     hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims[:11]
     tb, tc = hb - 1, wc - 1
     la, lb, lc = lens[0], lens[1], lens[2]
@@ -1028,13 +1050,14 @@ def _blocked_core_impl(lens, a_ext, b_arr, c_arr, dims, scoring, interpret):
     srf0 = jnp.zeros((n_kb, 8 * sr1, wc), jnp.int32)
     cf0 = jnp.zeros((n_jb, 8 * sr2, _round_up(hb, 128)), jnp.int32)
 
-    grid_call = make_grid_call(dims, scoring, interpret)
+    grid_call = make_grid_call(dims, scoring, interpret, score_bits)
     _, _, res = grid_call(scal_tab, askew, bptab, cptab, zeros, srf0, cf0)
     return res
 
 
 _blocked_core = jax.jit(
-    _blocked_core_impl, static_argnames=("dims", "scoring", "interpret")
+    _blocked_core_impl,
+    static_argnames=("dims", "scoring", "interpret", "score_bits"),
 )
 
 
@@ -1060,14 +1083,20 @@ def align_blocked(
     scoring: Scoring = Scoring(),
     interpret: Optional[bool] = None,
     block_shape: Optional[Tuple[int, int]] = None,
+    score_bits: int = 0,
 ) -> int:
     """Optimal 3-sequence alignment score via the blocked (sliced) sweep.
 
     Handles |B|, |C| beyond the single-block kernel's 255 limit; |A| is
-    bounded by the skewed symbol buffer (~8k with int32 planes)."""
+    bounded by the skewed symbol buffer (~8k with int32 planes).
+    ``score_bits`` nonzero selects RTL bit-parity mode (stored scores wrap
+    as signed score_bits-wide registers, src/TriAlign_1cyc.v:6) -- the
+    regime where wraparound actually occurs (scores past 2^11 need
+    sequences longer than the single-block kernel's 255 cap)."""
     return int(
         jax.device_get(align_blocked_async(a, b, c, scoring, interpret,
-                                           block_shape))
+                                           block_shape,
+                                           score_bits=score_bits))
     )
 
 
@@ -1079,6 +1108,7 @@ def align_blocked_async(
     interpret: Optional[bool] = None,
     block_shape: Optional[Tuple[int, int]] = None,
     plan_lens: Optional[Tuple[int, int, int]] = None,
+    score_bits: int = 0,
 ):
     """Like :func:`align_blocked` but returns the score as a 0-d DEVICE
     array without syncing: callers batching many residual problems queue
@@ -1117,6 +1147,7 @@ def align_blocked_async(
         dims,
         scoring,
         interpret,
+        score_bits,
     )
     return res[:NUM_MATRICES, 0].max()
 
