@@ -192,10 +192,51 @@ def test_submatrix_validation_and_routing(rng):
         Scoring(submatrix=((1, 2), (3,)))
     a, b, c = random_triplet(rng, 6, 7, 5, nsym=2)
     sc = Scoring(submatrix=sub)
-    res = align(a, b, c, sc)  # auto -> xla
-    assert res.backend == "xla"
+    # auto routes small alphabets to the production kernels (off-TPU the
+    # CPU _pick_backend falls back to xla for big planes; this problem is
+    # tiny, so pallas_interpret).
+    res = align(a, b, c, sc)
+    assert res.backend in ("pallas", "pallas_interpret", "blocked", "xla")
     assert res.score == align_planes_numpy(a, b, c, sc)
+    # Alphabets beyond the select-chain cap stay on golden/xla.
+    big = tuple(tuple(1 if i == j else -1 for j in range(9)) for i in range(9))
+    sc_big = Scoring(submatrix=big)
+    res_big = align(a, b, c, sc_big)
+    assert res_big.backend == "xla"
+    assert res_big.score == align_planes_numpy(a, b, c, sc_big)
     with pytest.raises(ValueError, match="submatrix"):
-        align(a, b, c, sc, backend="pallas")
+        align(a, b, c, sc_big, backend="pallas")
+    with pytest.raises(ValueError, match="symbols"):
+        align_wavefront(a, b, c, sc_big)
     with pytest.raises(ValueError, match="submatrix"):
-        align_wavefront(a, b, c, sc)
+        align(a, b, c, sc, backend="native")
+
+
+def test_fuzz_submatrix_pallas_and_blocked_match_golden(rng):
+    """Runtime substitution matrix on the PRODUCTION kernels: the Pallas
+    wavefront and the blocked (multi-block, face-exchanging) sweep must
+    match the golden model on random symmetric matrices, including pads
+    falling through to the clamped floor (reference capability:
+    src/TriAlign_tb.sv:220-224,280-290; select-chain design in
+    plane_math.submatrix_tables)."""
+    from trialign.kernels.blocked import align_blocked
+    from trialign.kernels.wavefront import align_wavefront
+
+    for trial in range(4):
+        nsym = int(rng.integers(2, 6))
+        m = rng.integers(-4, 5, size=(nsym, nsym))
+        m = ((m + m.T) // 2).astype(int)
+        sub = tuple(tuple(int(v) for v in row) for row in m)
+        sc = Scoring(submatrix=sub)
+        a, b, c = random_triplet(rng, int(rng.integers(3, 20)),
+                                 int(rng.integers(3, 16)),
+                                 int(rng.integers(3, 16)), nsym=nsym)
+        want = align_planes_numpy(a, b, c, sc)
+        assert align_wavefront(a, b, c, sc, interpret=True) == want, trial
+    # Blocked path with real face traffic (multi-block shape).
+    m = rng.integers(-3, 4, size=(4, 4))
+    sub = tuple(tuple(int(v) for v in row) for row in m)
+    sc = Scoring(submatrix=sub)
+    a, b, c = random_triplet(rng, 18, 28, 140)
+    want = align_planes_numpy(a, b, c, sc)
+    assert align_blocked(a, b, c, sc, block_shape=(24, 128)) == want

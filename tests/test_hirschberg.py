@@ -75,6 +75,28 @@ def test_rtl_and_nondefault_scoring(rng, monkeypatch):
         _check(*random_triplet(rng, la, lb, lc), scoring=sc)
 
 
+def test_submatrix_traceback_recursive_and_direct(rng, monkeypatch):
+    """Runtime substitution matrix through FULL alignment recovery: the
+    recursive Hirschberg split (engine sweeps + argmax walk) and the
+    device direct choice-capture engine must both return optimal,
+    rescore-exact alignments under a random submatrix (the reference's
+    planned score ports, src/TriAlign_tb.sv:220-224,280-290)."""
+    for trial in range(3):
+        m = rng.integers(-4, 5, size=(4, 4))
+        m = ((m + m.T) // 2).astype(int)
+        sc = Scoring(submatrix=tuple(tuple(int(v) for v in row) for row in m))
+        la, lb, lc = (int(x) for x in rng.integers(12, 30, size=3))
+        a, b, c = random_triplet(rng, la, lb, lc)
+        # Force the recursive split path (both halves walked).
+        monkeypatch.setattr(H, "BASE_CELLS", 800)
+        monkeypatch.setattr(H, "DIRECT_CELLS", 900)
+        _check(a, b, c, scoring=sc)
+        # Direct choice-capture engine.
+        monkeypatch.setattr(H, "BASE_CELLS", 500)
+        monkeypatch.setattr(H, "DIRECT_CELLS", 10**9)
+        _check(a, b, c, scoring=sc)
+
+
 def test_split_combination_equals_full_score(rng):
     # max(F + G) over the split slab must reproduce the full DP optimum
     # whenever some optimal path crosses i = m by real steps; with the

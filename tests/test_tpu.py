@@ -43,6 +43,25 @@ def test_blocked_compiled_parity(rng):
 
 @pytest.mark.tpu
 @tpu_only
+def test_submatrix_compiled_parity(rng):
+    """Select-chain submatrix tables (plane_math.submatrix_tables) must
+    compile under Mosaic and match the oracle on both Pallas kernels."""
+    from trialign.kernels.blocked import align_blocked
+    from trialign.kernels.wavefront import align_wavefront
+
+    m = rng.integers(-4, 5, size=(4, 4))
+    m = ((m + m.T) // 2).astype(int)
+    sc = Scoring(submatrix=tuple(tuple(int(v) for v in row) for row in m))
+    a, b, c = random_triplet(rng, 120, 100, 140)
+    want = align_planes_numpy(a, b, c, sc)
+    assert align_wavefront(a, b, c, sc) == want
+    a2, b2, c2 = random_triplet(rng, 60, 300, 300)
+    want2 = align_planes_numpy(a2, b2, c2, sc)
+    assert align_blocked(a2, b2, c2, sc) == want2
+
+
+@pytest.mark.tpu
+@tpu_only
 def test_traceback_compiled_parity(rng):
     import trialign.traceback.hirschberg as H
     from trialign.golden.numpy_model import rescore_alignment

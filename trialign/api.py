@@ -135,15 +135,25 @@ def align(
         )
 
     if scoring.submatrix is not None:
-        # Runtime substitution-matrix scoring runs on the golden/xla
-        # backends (the reference testbench's planned 4x4 score ports,
-        # src/TriAlign_tb.sv:220-224,280-290).
+        # Runtime substitution-matrix scoring (the reference testbench's
+        # planned 4x4 score ports, src/TriAlign_tb.sv:220-224,280-290)
+        # runs at production-kernel speed via select-chain tables
+        # (plane_math.submatrix_tables) on both Pallas kernels; alphabets
+        # beyond the table cap and the native engine route to golden/xla.
+        from trialign.kernels.wavefront import SUBMATRIX_NSYM_CAP
+
+        small_alpha = len(scoring.submatrix) <= SUBMATRIX_NSYM_CAP
         if backend == "auto":
-            backend = "xla"
-        if backend not in ("golden", "xla"):
+            backend = _pick_backend(la, lb, lc) if small_alpha else "xla"
+            if backend not in ("pallas", "pallas_interpret", "blocked"):
+                backend = "xla"
+        allowed = ("golden", "xla") + (
+            ("pallas", "pallas_interpret", "blocked") if small_alpha else ()
+        )
+        if backend not in allowed:
             raise ValueError(
-                f"submatrix scoring is implemented by the 'golden' and "
-                f"'xla' backends, not {backend!r}"
+                f"submatrix scoring is implemented by the {allowed} "
+                f"backends, not {backend!r}"
             )
     if backend == "auto":
         backend = _pick_backend(la, lb, lc)
@@ -273,18 +283,32 @@ def align_batch(
     t0 = time.perf_counter()
     arrs = [(_prep(a), _prep(b), _prep(c)) for a, b, c in triplets]
     if scoring.submatrix is not None:
-        # Substitution-matrix scoring: per-item XLA sweeps (no batched
-        # kernel path yet; one compile per distinct shape).
-        from trialign.kernels.xla_ref import align_xla
+        # Substitution-matrix scoring: small alphabets ride the batched
+        # padded/bucketed production path (the vmap'd wavefront kernel and
+        # chained blocked sweeps both evaluate the matrix via select-chain
+        # tables, plane_math.submatrix_tables); big alphabets fall back to
+        # per-item XLA sweeps.  The mosaic/hetero canvas has no submatrix
+        # wiring, so large batches stay on the bucketed path here.
+        from trialign.kernels.wavefront import SUBMATRIX_NSYM_CAP
 
-        scores = [
-            align_xla(a, b, c, scoring) if min(len(a), len(b), len(c)) else 0
-            for a, b, c in arrs
-        ]
+        if len(scoring.submatrix) <= SUBMATRIX_NSYM_CAP:
+            from trialign.dist.batch import align_batch_padded
+
+            scores = align_batch_padded(arrs, scoring)
+            backend_name = "padded"
+        else:
+            from trialign.kernels.xla_ref import align_xla
+
+            scores = [
+                align_xla(a, b, c, scoring)
+                if min(len(a), len(b), len(c)) else 0
+                for a, b, c in arrs
+            ]
+            backend_name = "xla"
         dt = time.perf_counter() - t0
         total_cells = sum(len(a) * len(b) * len(c) for a, b, c in arrs) or 1
         return [
-            AlignResult(score=int(s), backend="xla",
+            AlignResult(score=int(s), backend=backend_name,
                         cells=len(a) * len(b) * len(c),
                         seconds=dt * len(a) * len(b) * len(c) / total_cells)
             for (a, b, c), s in zip(arrs, scores)

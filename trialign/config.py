@@ -32,6 +32,7 @@ matrices, 0 for single-consume), see src/PE_1cyc.v:159-162.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import numpy as np
@@ -66,6 +67,17 @@ ALPHABET_INV = {v: k for k, v in ALPHABET.items()}
 PAD_SYMBOL = 255
 
 
+@functools.lru_cache(maxsize=32)
+def _sub_lookup_cached(submatrix: Tuple[Tuple[int, ...], ...]) -> np.ndarray:
+    m = np.asarray(submatrix, dtype=np.int32)
+    floor = min(int(m.min()), -1)
+    lut = np.full((256, 256), floor, dtype=np.int32)
+    n = m.shape[0]
+    lut[:n, :n] = m
+    lut.flags.writeable = False
+    return lut
+
+
 @dataclasses.dataclass(frozen=True)
 class Scoring:
     """Scoring parameters for the 3-sequence affine-gap alignment.
@@ -90,10 +102,14 @@ class Scoring:
     symbol codes x, y (the reference testbench PLANNED this as its
     commented 4x4 score-matrix ports but never wired it upstream,
     src/TriAlign_tb.sv:220-224,280-290).  Requires s3_mode="sop" (the rtl
-    quirk function is defined by symbol equality, not scores); supported
-    by the "golden" and "xla" backends.  Symbols outside the matrix
-    (sequence padding) score the matrix minimum, clamped <= -1, so padded
-    cells keep decaying and never leak into valid ones.
+    quirk function is defined by symbol equality, not scores).  Runs on
+    every scoring backend -- both production Pallas kernels evaluate it
+    via gather-free select-chain tables (plane_math.submatrix_tables) for
+    alphabets <= wavefront.SUBMATRIX_NSYM_CAP symbols, golden/xla for any
+    size <= 16 -- and through full alignment recovery (all traceback
+    engines).  Symbols outside the matrix (sequence padding) score the
+    matrix minimum, clamped <= -1, so padded cells keep decaying and
+    never leak into valid ones.
     """
 
     match: int = 1
@@ -131,14 +147,11 @@ class Scoring:
         In-alphabet pairs read ``submatrix``; any pair touching an
         out-of-alphabet code (PAD_SYMBOL and friends) scores
         min(matrix minimum, -1) so garbage cells stay bounded exactly as
-        the equality scheme's always-mismatching pads do."""
+        the equality scheme's always-mismatching pads do.  Memoized (the
+        traceback engines call pair_score per plane step); the returned
+        array is read-only."""
         assert self.submatrix is not None
-        m = np.asarray(self.submatrix, dtype=np.int32)
-        floor = min(int(m.min()), -1)
-        lut = np.full((256, 256), floor, dtype=np.int32)
-        n = m.shape[0]
-        lut[:n, :n] = m
-        return lut
+        return _sub_lookup_cached(self.submatrix)
 
     # ------------------------------------------------------------------
     # Derived tables (NumPy; backends convert as needed).

@@ -22,6 +22,8 @@ from trialign.config import NUM_MATRICES, PAD_SYMBOL, Scoring
 from trialign.kernels.plane_math import (
     PLANE_DELTA,
     SHIFTS,
+    submatrix_pair,
+    submatrix_tables,
     target_update,
     transition_groups,
 )
@@ -91,7 +93,15 @@ def _sweep_padded(lens, askew, bp, cp, lab, hb, wc, scoring: Scoring):
     k_grid = jnp.ones((hb, 1), jnp.int32) * jnp.arange(wc, dtype=jnp.int32)[None, :]
     jk = j_grid + k_grid
     edge = (j_grid >= 1) & (k_grid >= 1)
-    s_bc = jnp.where(bp == cp, match, mismatch)
+    if scoring.submatrix is None:
+        sub_t = None
+        s_bc = jnp.where(bp == cp, match, mismatch)
+    else:
+        # Same select-chain tables as the Pallas kernels
+        # (plane_math.submatrix_tables): pads fall through to the floor.
+        sub_t = submatrix_tables(bp, cp, scoring.submatrix, jnp.int32,
+                                 jnp.where)
+        s_bc = sub_t[2]
     cellmask = (j_grid == lb) & (k_grid == lc)
 
     def shift(x, dj, dk):
@@ -104,8 +114,12 @@ def _sweep_padded(lens, askew, bp, cp, lab, hb, wc, scoring: Scoring):
     def step(carry, q):
         p1, p2, p3, captured = carry
         ap = jax.lax.dynamic_slice(askew, (qq - q, 0), (hb, wc))
-        s_ab = jnp.where(ap == bp, match, mismatch)
-        s_ac = jnp.where(ap == cp, match, mismatch)
+        if sub_t is not None:
+            s_ab = submatrix_pair(ap, sub_t[0], sub_t[3], jnp.where)
+            s_ac = submatrix_pair(ap, sub_t[1], sub_t[3], jnp.where)
+        else:
+            s_ab = jnp.where(ap == bp, match, mismatch)
+            s_ac = jnp.where(ap == cp, match, mismatch)
         if scoring.s3_mode == "sop":
             s3 = s_ab + s_ac + s_bc
         else:
@@ -223,7 +237,8 @@ def _blocked_group(triplets, scoring, interpret, chain=8):
     la = max(len(t[0]) for t in triplets)
     lb = max(len(t[1]) for t in triplets)
     lc = max(len(t[2]) for t in triplets)
-    shape = BK.choose_block_shape(la, lb, lc)
+    shape = BK.choose_block_shape(la, lb, lc,
+                                  live_planes=BK._live_planes_for(scoring))
     dims = BK.plan_dims(la, lb, lc, *shape)
     hb, wc, lab = dims[0], dims[1], dims[2]
     kdim, jdim = dims[6], dims[7]

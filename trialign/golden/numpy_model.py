@@ -298,7 +298,7 @@ def rescore_alignment(
         if len(present) == 3:
             score += int(scoring.triple_score(col[0], col[1], col[2]))
         elif len(present) == 2:
-            score += scoring.match if present[0] == present[1] else scoring.mismatch
+            score += int(scoring.pair_score(present[0], present[1]))
         # gap charges
         for ax in range(3):
             if gaps[ax]:

@@ -43,6 +43,8 @@ import numpy as np
 from trialign.config import NUM_MATRICES, PAD_SYMBOL, Scoring
 from trialign.kernels.plane_math import (
     fused_plane_update_m7,
+    submatrix_pair,
+    submatrix_tables,
     transition_groups,
 )
 
@@ -60,6 +62,15 @@ DEF_UNB = 8
 # slows XLA's compile 4-6x, so it is requested only when the geometry
 # actually needs it (see _vmem_limit_for).
 VMEM_DEFAULT_CAP = 16 * 2**20
+
+
+def _live_planes_for(scoring):
+    """Resident (hb, wc) state planes of the score sweep: 16 carried
+    (7 p1 + 7 p2 + 2 max7) plus the 2*nsym+1 select-chain substitution
+    tables when a runtime submatrix is active."""
+    if scoring.submatrix is None:
+        return 16
+    return 16 + 2 * len(scoring.submatrix) + 1
 
 
 def _vmem_limit_for(dims, live_planes=16):
@@ -259,8 +270,21 @@ def _block_sweep(
     jk = jl + kl
     if hetero is None:
         edge = (jl >= 1) & (kl >= 1)
-        s_bc = jnp.where(bp == cp, match, mismatch)
+        if scoring.submatrix is None:
+            s_bc = jnp.where(bp == cp, match, mismatch)
+        else:
+            # Runtime substitution matrix (select-chain tables, built once
+            # per block sweep; pads/sentinels fall through to the clamped
+            # floor -- plane_math.submatrix_tables).  Works in chain mode
+            # too (CHD > 0): the tables depend only on the shared B/C
+            # planes.  Costs 2*nsym+1 resident planes; the planner budgets
+            # them via live_planes (choose_block_shape).
+            sub_sb, sub_sc, s_bc, sub_floor = submatrix_tables(
+                bp, cp, scoring.submatrix, jnp.int32, jnp.where
+            )
     else:
+        assert scoring.submatrix is None, \
+            "submatrix scoring is not wired into the hetero band-select ring"
         # Runtime chain parameters: the slot pitch d_rt and slot count
         # npack_rt are SMEM scalars (one compiled kernel serves a whole
         # geometry class); jkmod = jk mod d_rt arrives as an input plane
@@ -495,8 +519,12 @@ def _block_sweep(
                 s_bc_q = jnp.where(bq == cq, match, mismatch)
             else:
                 bq, cq, s_bc_q = bp, cp, s_bc
-            s_ab = jnp.where(ap == bq, match, mismatch)
-            s_ac = jnp.where(ap == cq, match, mismatch)
+            if hetero is None and scoring.submatrix is not None:
+                s_ab = submatrix_pair(ap, sub_sb, sub_floor, jnp.where)
+                s_ac = submatrix_pair(ap, sub_sc, sub_floor, jnp.where)
+            else:
+                s_ab = jnp.where(ap == bq, match, mismatch)
+                s_ac = jnp.where(ap == cq, match, mismatch)
             if sop:
                 s3 = s_ab + s_ac + s_bc_q
             else:
@@ -723,7 +751,7 @@ def make_block_call(dims: Tuple, n_srf_slabs: int, n_cf_slabs: int, scoring: Sco
             # Raised only for geometries beyond the default 16 MB scoped
             # cap: big single-k-block shapes (better j/k fill) need it,
             # while an explicit limit slows compiles for everyone else.
-            vmem_limit_bytes=_vmem_limit_for(dims),
+            vmem_limit_bytes=_vmem_limit_for(dims, _live_planes_for(scoring)),
         ),
     )
 
@@ -785,7 +813,7 @@ def make_grid_call(dims: Tuple, scoring: Scoring, interpret: bool,
             # Raised only for geometries beyond the default 16 MB scoped
             # cap: big single-k-block shapes (better j/k fill) need it,
             # while an explicit limit slows compiles for everyone else.
-            vmem_limit_bytes=_vmem_limit_for(dims),
+            vmem_limit_bytes=_vmem_limit_for(dims, _live_planes_for(scoring)),
         ),
     )
 
@@ -863,7 +891,7 @@ def make_hetero_grid_call(dims: Tuple, scoring: Scoring, interpret: bool):
         scratch_shapes=_hetero_scratch_shapes(hb, wc, unb, nbr, njb_bands),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=_vmem_limit_for(dims),
+            vmem_limit_bytes=_vmem_limit_for(dims, _live_planes_for(scoring)),
         ),
     )
 
@@ -926,7 +954,7 @@ def make_hetero_block_call(dims: Tuple, scoring: Scoring, interpret: bool):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=_vmem_limit_for(dims),
+            vmem_limit_bytes=_vmem_limit_for(dims, _live_planes_for(scoring)),
         ),
     )
 
@@ -1120,9 +1148,11 @@ def align_blocked_async(
     the STATIC geometry at the caps while the runtime length scalars stay
     exact, so a heterogeneous batch shares ONE compiled kernel (a mixed
     1024-triplet batch otherwise needs ~22 distinct compiles for its
-    blocked residue); the padded sweep planes are masked dead cells."""
-    if scoring.submatrix is not None:
-        raise ValueError("submatrix scoring: use the 'golden'/'xla' backends")
+    blocked residue); the padded sweep planes are masked dead cells.
+
+    Runtime ``scoring.submatrix`` is supported (select-chain tables,
+    plane_math.submatrix_tables); the planner budgets the 2*nsym+1 extra
+    resident planes so the working set stays under the VMEM spill cliff."""
     a, b, c = np.asarray(a), np.asarray(b), np.asarray(c)
     la, lb, lc = len(a), len(b), len(c)
     if min(la, lb, lc) == 0:
@@ -1131,11 +1161,13 @@ def align_blocked_async(
     assert pla >= la and plb >= lb and plc >= lc, (plan_lens, (la, lb, lc))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    live = 16 if scoring.submatrix is None else \
+        16 + 2 * len(scoring.submatrix) + 1
     if block_shape:
         hb, wc = block_shape[0], block_shape[1]
         unb = block_shape[2] if len(block_shape) > 2 else DEF_UNB
     else:
-        hb, wc, unb = choose_block_shape(pla, plb, plc)
+        hb, wc, unb = choose_block_shape(pla, plb, plc, live_planes=live)
     dims = plan_dims(pla, plb, plc, hb, wc, unb)
     lens, a_ext, b_arr, c_arr = prep_blocked(a, b, c, dims)
 

@@ -132,6 +132,73 @@ def fused_plane_update_m7(p1, p2, m7p3, subs, groups, maximum, roll):
     return new, m7p1
 
 
+def submatrix_tables(bp, cp, submatrix, dtype, where):
+    """Gather-free substitution-plane tables for a runtime score matrix.
+
+    TPU-native realization of the testbench's planned 4x4 score-matrix
+    ports (reference: src/TriAlign_tb.sv:220-224,280-290): XLA gathers are
+    ~ms-slow on TPU, so the pairwise lookups become short select chains
+    over the (static) B/C symbol planes, built ONCE per sweep:
+
+    * ``sb[v][j,k] = S(v, B_j)`` and ``sc[v][j,k] = S(v, C_k)`` -- one
+      plane per A-symbol value, each an nsym-term constant-select chain;
+    * ``s_bc[j,k] = S(B_j, C_k)`` -- an nsym-term select over the sb/sc
+      stacks.
+
+    Any symbol outside [0, nsym) -- sequence pads, border sentinels --
+    falls through every select to ``floor`` = min(matrix minimum, -1),
+    matching Scoring.sub_lookup()'s clamped-pad semantics exactly.
+
+    Returns (sb, sc, s_bc, floor).  ``where`` is np.where or jnp.where;
+    ``dtype`` the plane scalar type.
+    """
+    nsym = len(submatrix)
+    floor = dtype(min(min(min(r) for r in submatrix), -1))
+    sb, sc = [], []
+    for v in range(nsym):
+        accb = None
+        accc = None
+        for u in range(nsym):
+            cu = dtype(submatrix[v][u])
+            accb = where(bp == u, cu, floor if accb is None else accb)
+            accc = where(cp == u, cu, floor if accc is None else accc)
+        sb.append(accb)
+        sc.append(accc)
+    s_bc = None
+    for v in range(nsym):
+        s_bc = where(bp == v, sc[v], floor if s_bc is None else s_bc)
+    return sb, sc, s_bc, floor
+
+
+def submatrix_pair_score(x, y, submatrix, where, dtype=np.int32):
+    """Gather-free S(x, y) for two arbitrary symbol arrays: an nsym^2
+    constant-select chain.  Out-of-alphabet codes (pads, negative border
+    sentinels) fall through to the clamped floor, matching
+    Scoring.sub_lookup().  For hot kernels prefer submatrix_tables +
+    submatrix_pair (static tables, nsym selects per step); this direct
+    form suits the traceback engines' per-step triple of moving planes."""
+    nsym = len(submatrix)
+    floor = dtype(min(min(min(r) for r in submatrix), -1))
+    acc = None
+    for u in range(nsym):
+        rowv = None
+        for v in range(nsym):
+            cv = dtype(submatrix[u][v])
+            rowv = where(y == v, cv, floor if rowv is None else rowv)
+        acc = where(x == u, rowv, floor if acc is None else acc)
+    return acc
+
+
+def submatrix_pair(ap, stack, floor, where):
+    """Per-step pairwise score plane S(A_i, X) for the moving symbol plane
+    ``ap`` against a per-symbol table ``stack`` from submatrix_tables:
+    an nsym-select chain (nsym compares + selects per plane step)."""
+    acc = where(ap == 0, stack[0], floor)
+    for v in range(1, len(stack)):
+        acc = where(ap == v, stack[v], acc)
+    return acc
+
+
 def op_count(scoring: Scoring = Scoring()) -> int:
     """Vector ops per cell of the grouped update (for cost models)."""
     groups = transition_groups(scoring.weight_matrix())

@@ -30,8 +30,16 @@ import numpy as np
 from trialign.config import NUM_MATRICES, PAD_SYMBOL, Scoring
 from trialign.kernels.plane_math import (
     fused_plane_update_m7,
+    submatrix_pair,
+    submatrix_tables,
     transition_groups,
 )
+
+# Largest runtime substitution matrix the Pallas kernels accept: the
+# select-chain tables cost 2*nsym+1 resident planes of VMEM (wavefront:
+# 4.25 MB at nsym=8 on a 256x256 plane) and 2*nsym extra vector ops per
+# step; bigger alphabets route to the XLA backend (api._pick_backend).
+SUBMATRIX_NSYM_CAP = 8
 
 # Sublane / lane granularity for int32 planes.
 SUBLANE = 8
@@ -82,7 +90,12 @@ def score_dtype(scoring: Scoring, qmax: int):
     int32-compute loses to pure int32 (see experiments/README.md) -- so
     this returns int32 until a hardware/toolchain where narrow wins.
     """
-    step = 3 * max(abs(scoring.match), abs(scoring.mismatch)) + 2 * (
+    if scoring.submatrix is not None:
+        pairmax = max(max(abs(v) for v in row) for row in scoring.submatrix)
+        pairmax = max(pairmax, 1)
+    else:
+        pairmax = max(abs(scoring.match), abs(scoring.mismatch))
+    step = 3 * pairmax + 2 * (
         abs(scoring.gap_open) + abs(scoring.gap_extend)
     )
     if not ENABLE_INT16:
@@ -128,7 +141,16 @@ def _make_kernel(lab: int, hb: int, wc: int, scoring: Scoring,
 
         bp = bp_ref[:]  # (hb, wc): B symbol broadcast along k
         cp = cp_ref[:]  # (hb, wc): C symbol broadcast along j
-        s_bc = jnp.where(bp == cp, match, mismatch)
+        if scoring.submatrix is None:
+            s_bc = jnp.where(bp == cp, match, mismatch)
+        else:
+            # Runtime substitution matrix on the production kernel: static
+            # per-symbol select-plane tables built once per call (pads and
+            # border sentinels fall through to the clamped floor), then an
+            # nsym-select chain per step (plane_math.submatrix_tables).
+            sub_sb, sub_sc, s_bc, sub_floor = submatrix_tables(
+                bp, cp, scoring.submatrix, dtype, jnp.where
+            )
 
         # Everything below is strictly 2-D (hb, wc) vector math: Mosaic's
         # vector layout pass is happiest with rank-2 natively-tiled ops, so
@@ -161,8 +183,12 @@ def _make_kernel(lab: int, hb: int, wc: int, scoring: Scoring,
             UNROLL-1-u (qq is a multiple of UNROLL, so the residue of
             qq - q modulo the sublane tile is a compile-time constant)."""
             ap = win[UNROLL - 1 - u : UNROLL - 1 - u + hb, :]
-            s_ab = jnp.where(ap == bp, match, mismatch)
-            s_ac = jnp.where(ap == cp, match, mismatch)
+            if scoring.submatrix is not None:
+                s_ab = submatrix_pair(ap, sub_sb, sub_floor, jnp.where)
+                s_ac = submatrix_pair(ap, sub_sc, sub_floor, jnp.where)
+            else:
+                s_ab = jnp.where(ap == bp, match, mismatch)
+                s_ac = jnp.where(ap == cp, match, mismatch)
             if sop:
                 s3 = s_ab + s_ac + s_bc
             else:
@@ -355,9 +381,16 @@ def align_wavefront(
     """Optimal 3-sequence alignment score via the single-block Pallas kernel.
 
     ``score_bits`` nonzero selects RTL bit-parity mode: stored values wrap
-    as signed score_bits-wide registers (src/TriAlign_1cyc.v:6)."""
-    if scoring.submatrix is not None:
-        raise ValueError("submatrix scoring: use the 'golden'/'xla' backends")
+    as signed score_bits-wide registers (src/TriAlign_1cyc.v:6).
+
+    Runtime ``scoring.submatrix`` is supported up to SUBMATRIX_NSYM_CAP
+    symbols (select-chain tables; see plane_math.submatrix_tables)."""
+    if scoring.submatrix is not None and \
+            len(scoring.submatrix) > SUBMATRIX_NSYM_CAP:
+        raise ValueError(
+            f"submatrix alphabets beyond {SUBMATRIX_NSYM_CAP} symbols: "
+            "use the 'golden'/'xla' backends"
+        )
     a = np.asarray(a)
     b = np.asarray(b)
     c = np.asarray(c)

@@ -118,9 +118,16 @@ def _choices_seg(lens, a_pad, b_pad, c_pad, v0, carry, packed_lo, packed_hi,
         i_grid = q - jk
         ap = jax.lax.dynamic_slice(askew, (qq - q, 0), (hb, wc))
         ai = jnp.where((i_grid >= 1) & (i_grid <= la), ap, -9)
-        s_ab = jnp.where(ai == bj, m, x)
-        s_ac = jnp.where(ai == ck, m, x)
-        s_bc = jnp.where(bj == ck, m, x)
+        if scoring.submatrix is not None:
+            from trialign.kernels.plane_math import submatrix_pair_score
+
+            s_ab = submatrix_pair_score(ai, bj, scoring.submatrix, jnp.where)
+            s_ac = submatrix_pair_score(ai, ck, scoring.submatrix, jnp.where)
+            s_bc = submatrix_pair_score(bj, ck, scoring.submatrix, jnp.where)
+        else:
+            s_ab = jnp.where(ai == bj, m, x)
+            s_ac = jnp.where(ai == ck, m, x)
+            s_bc = jnp.where(bj == ck, m, x)
         if scoring.s3_mode == "sop":
             s3 = s_ab + s_ac + s_bc
         else:

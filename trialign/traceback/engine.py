@@ -34,17 +34,18 @@ NEG = -(2**26)
 
 def _subs(scoring: Scoring, ai, bj, ck):
     """The 7 substitution planes for symbol planes ai/bj/ck (any shapes that
-    broadcast together)."""
-    m, x = scoring.match, scoring.mismatch
-    s_ab = np.where(ai == bj, m, x).astype(np.int32)
-    s_ac = np.where(ai == ck, m, x).astype(np.int32)
-    s_bc = np.where(bj == ck, m, x).astype(np.int32)
+    broadcast together).  pair_score/triple_score honor a runtime
+    ``scoring.submatrix`` (sentinels/pads score the clamped floor)."""
+    shape = np.broadcast_shapes(np.shape(ai), np.shape(bj), np.shape(ck))
+    s_ab = np.broadcast_to(scoring.pair_score(ai, bj), shape).astype(np.int32)
+    s_ac = np.broadcast_to(scoring.pair_score(ai, ck), shape).astype(np.int32)
+    s_bc = np.broadcast_to(scoring.pair_score(bj, ck), shape).astype(np.int32)
     if scoring.s3_mode == "sop":
         s3 = s_ab + s_ac + s_bc
     else:
-        s3 = np.where(ai == bj, np.where(bj == ck, 3 * m, (m + x) * 2), 3 * x).astype(
-            np.int32
-        )
+        s3 = np.broadcast_to(
+            scoring.triple_score(ai, bj, ck), shape
+        ).astype(np.int32)
     return (s3, 0, 0, 0, s_ab, s_bc, s_ac)
 
 

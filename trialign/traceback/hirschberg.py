@@ -118,15 +118,14 @@ def _bwd_slab_async(a_suffix, b, c, scoring, end_v):
 
 def _sub_at(scoring: Scoring, t: int, a, b, c, i: int, j: int, k: int) -> int:
     ca, cb, cc = CONSUMES[t]
-    m, x = scoring.match, scoring.mismatch
     if ca and cb and cc:
         return int(scoring.triple_score(a[i - 1], b[j - 1], c[k - 1]))
     if ca and cb:
-        return m if a[i - 1] == b[j - 1] else x
+        return int(scoring.pair_score(a[i - 1], b[j - 1]))
     if cb and cc:
-        return m if b[j - 1] == c[k - 1] else x
+        return int(scoring.pair_score(b[j - 1], c[k - 1]))
     if ca and cc:
-        return m if a[i - 1] == c[k - 1] else x
+        return int(scoring.pair_score(a[i - 1], c[k - 1]))
     return 0
 
 

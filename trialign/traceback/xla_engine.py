@@ -63,6 +63,13 @@ def _pad_seq(s: np.ndarray, size: int, fill: int) -> np.ndarray:
 def _subs_jnp(scoring: Scoring, ai, bj, ck):
     import jax.numpy as jnp
 
+    if scoring.submatrix is not None:
+        from trialign.kernels.plane_math import submatrix_pair_score
+
+        s_ab = submatrix_pair_score(ai, bj, scoring.submatrix, jnp.where)
+        s_ac = submatrix_pair_score(ai, ck, scoring.submatrix, jnp.where)
+        s_bc = submatrix_pair_score(bj, ck, scoring.submatrix, jnp.where)
+        return (s_ab + s_ac + s_bc, 0, 0, 0, s_ab, s_bc, s_ac)
     m, x = np.int32(scoring.match), np.int32(scoring.mismatch)
     s_ab = jnp.where(ai == bj, m, x)
     s_ac = jnp.where(ai == ck, m, x)
