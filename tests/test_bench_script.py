@@ -18,12 +18,14 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.fixture(scope="module")
-def bench():
+def bench(tmp_path_factory):
     spec = importlib.util.spec_from_file_location(
         "bench", os.path.join(HERE, "bench.py")
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
+    # Keep test log lines out of the repo's real bench_err.log.
+    mod.ERR_LOG = str(tmp_path_factory.mktemp("bench") / "bench_err.log")
     return mod
 
 

@@ -97,3 +97,27 @@ def test_native_traceback_empty():
     score, rows = native.align_native(a, e, a)
     assert score == 0
     assert [v for v in rows[0] if v != -1] == [1, 1, 1]
+
+
+def test_native_submatrix_score_and_traceback(rng):
+    """Runtime substitution matrix in the C++ engine: score and recovered
+    alignment must match the golden model via the (256, 256) lookup
+    (trialign_score_sub / trialign_align_sub); pads score the clamped
+    floor.  Batch stays gated (the padded device path owns it)."""
+    from trialign.config import Scoring
+    from trialign.golden.numpy_model import rescore_alignment
+
+    for trial in range(4):
+        m = rng.integers(-4, 5, size=(4, 4))
+        m = ((m + m.T) // 2).astype(int)
+        sc = Scoring(submatrix=tuple(tuple(int(v) for v in row) for row in m))
+        la, lb, lc = (int(x) for x in rng.integers(3, 35, size=3))
+        a, b, c = random_triplet(rng, la, lb, lc)
+        want = align_planes_numpy(a, b, c, sc)
+        assert native.score_native(a, b, c, sc) == want, trial
+        s, rows = native.align_native(a, b, c, sc)
+        assert s == want and rescore_alignment(rows, sc) == want, trial
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="submatrix"):
+        native.score_native_batch([(a, b, c)], sc)

@@ -147,7 +147,7 @@ def align(
             backend = _pick_backend(la, lb, lc) if small_alpha else "xla"
             if backend not in ("pallas", "pallas_interpret", "blocked"):
                 backend = "xla"
-        allowed = ("golden", "xla") + (
+        allowed = ("golden", "xla", "native") + (
             ("pallas", "pallas_interpret", "blocked") if small_alpha else ()
         )
         if backend not in allowed:
@@ -212,13 +212,12 @@ def _align_batch_traceback(
     out: List[Optional[AlignResult]] = [None] * len(arrs)
 
     native_ok = False
-    if scoring.submatrix is None:
-        try:
-            from trialign.native import align_native, is_available
+    try:
+        from trialign.native import align_native, is_available
 
-            native_ok = is_available()
-        except Exception:  # noqa: BLE001 - toolchain missing
-            native_ok = False
+        native_ok = is_available()
+    except Exception:  # noqa: BLE001 - toolchain missing
+        native_ok = False
 
     def one_native(i):
         a, b, c = arrs[i]

@@ -77,6 +77,34 @@ def _load() -> ctypes.CDLL:
         ctypes.c_int32,
     ]
     lib.trialign_score_batch.restype = None
+    lib.trialign_score_sub.restype = ctypes.c_int32
+    lib.trialign_score_sub.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.trialign_align_sub.restype = ctypes.c_int32
+    lib.trialign_align_sub.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.trialign_align.restype = ctypes.c_int32
     lib.trialign_align.argtypes = [
         ctypes.POINTER(ctypes.c_uint8),
@@ -111,14 +139,28 @@ def _ptr(arr: np.ndarray):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
+def _lut_ptr(scoring: Scoring):
+    """(lut_array, int32-pointer) for the scoring's (256, 256) lookup;
+    keep the array referenced for the call's duration."""
+    lut = np.ascontiguousarray(scoring.sub_lookup(), dtype=np.int32)
+    return lut, lut.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
 def score_native(a, b, c, scoring: Scoring = Scoring()) -> int:
-    """Optimal score via the C++ engine."""
-    if scoring.submatrix is not None:
-        raise ValueError("submatrix scoring: use the 'golden'/'xla' backends")
+    """Optimal score via the C++ engine (runtime submatrix supported via
+    the (256, 256) lookup, trialign_score_sub)."""
     lib = _load()
     a = np.ascontiguousarray(a, dtype=np.uint8)
     b = np.ascontiguousarray(b, dtype=np.uint8)
     c = np.ascontiguousarray(c, dtype=np.uint8)
+    if scoring.submatrix is not None:
+        lut, lptr = _lut_ptr(scoring)
+        return int(
+            lib.trialign_score_sub(
+                _ptr(a), len(a), _ptr(b), len(b), _ptr(c), len(c),
+                scoring.gap_open, scoring.gap_extend, lptr,
+            )
+        )
     return int(
         lib.trialign_score(
             _ptr(a),
@@ -146,9 +188,8 @@ def align_native(a, b, c, scoring: Scoring = Scoring()):
     an oracle for tests and host-side use, not the TPU production path.
 
     Restores natively the capability the reference stubbed out
-    (reference: src/PE_1cyc.v:12-14,30)."""
-    if scoring.submatrix is not None:
-        raise ValueError("submatrix scoring: use the 'golden'/'xla' backends")
+    (reference: src/PE_1cyc.v:12-14,30).  Runtime submatrix scoring is
+    supported (trialign_align_sub with the (256, 256) lookup)."""
     lib = _load()
     a = np.ascontiguousarray(a, dtype=np.uint8)
     b = np.ascontiguousarray(b, dtype=np.uint8)
@@ -159,14 +200,24 @@ def align_native(a, b, c, scoring: Scoring = Scoring()):
     cap = la + lb + lc + 1
     actions = np.zeros(cap, dtype=np.int8)
     i32p = ctypes.POINTER(ctypes.c_int32)
-    n = lib.trialign_align(
-        _ptr(a), la, _ptr(b), lb, _ptr(c), lc,
-        scoring.match, scoring.mismatch, scoring.gap_open,
-        scoring.gap_extend, 0 if scoring.s3_mode == "sop" else 1,
-        ctypes.byref(score),
-        actions.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), cap,
-        stop.ctypes.data_as(i32p),
-    )
+    if scoring.submatrix is not None:
+        lut, lptr = _lut_ptr(scoring)
+        n = lib.trialign_align_sub(
+            _ptr(a), la, _ptr(b), lb, _ptr(c), lc,
+            scoring.gap_open, scoring.gap_extend, lptr,
+            ctypes.byref(score),
+            actions.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), cap,
+            stop.ctypes.data_as(i32p),
+        )
+    else:
+        n = lib.trialign_align(
+            _ptr(a), la, _ptr(b), lb, _ptr(c), lc,
+            scoring.match, scoring.mismatch, scoring.gap_open,
+            scoring.gap_extend, 0 if scoring.s3_mode == "sop" else 1,
+            ctypes.byref(score),
+            actions.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), cap,
+            stop.ctypes.data_as(i32p),
+        )
     assert n >= 0, "native traceback buffer overflow"
 
     from trialign.config import CONSUMES
@@ -201,7 +252,13 @@ def align_native(a, b, c, scoring: Scoring = Scoring()):
 def score_native_batch(
     triplets: Sequence, scoring: Scoring = Scoring()
 ) -> List[int]:
-    """Batch scores via the C++ engine (OpenMP-parallel when available)."""
+    """Batch scores via the C++ engine (OpenMP-parallel when available).
+
+    No submatrix variant: batched submatrix scoring rides the padded
+    device path (api.align_batch); per-item score_native supports it."""
+    if scoring.submatrix is not None:
+        raise ValueError("submatrix: use score_native per item or the "
+                         "batched device path (api.align_batch)")
     lib = _load()
     n = len(triplets)
     if n == 0:

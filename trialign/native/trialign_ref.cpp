@@ -28,9 +28,16 @@ constexpr int CONSUMES[NM][3] = {
 struct Params {
     int32_t match, mismatch, go, ge;
     bool sop;  // true: sum-of-pairs S3; false: RTL quirk S3
+    // Optional runtime substitution matrix: (256, 256) row-major lookup
+    // covering the full symbol space (pads score the clamped floor --
+    // built by Scoring.sub_lookup()); nullptr = equality scoring.  The
+    // testbench's planned-never-wired score ports,
+    // reference: src/TriAlign_tb.sv:220-224,280-290.
+    const int32_t* lut = nullptr;
 };
 
 inline int32_t pair_score(const Params& p, uint8_t x, uint8_t y) {
+    if (p.lut) return p.lut[static_cast<int32_t>(x) * 256 + y];
     return x == y ? p.match : p.mismatch;
 }
 
@@ -42,18 +49,12 @@ inline int32_t s3_score(const Params& p, uint8_t a, uint8_t b, uint8_t c) {
     return 3 * p.mismatch;
 }
 
-}  // namespace
-
-extern "C" {
-
 // Optimal alignment score; zero borders, final max over the 7 matrices at
-// (|A|, |B|, |C|).  s3_mode: 0 = sum-of-pairs, 1 = RTL quirk.
-int32_t trialign_score(const uint8_t* a, int32_t la, const uint8_t* b,
-                       int32_t lb, const uint8_t* c, int32_t lc,
-                       int32_t match, int32_t mismatch, int32_t gap_open,
-                       int32_t gap_extend, int32_t s3_mode) {
+// (|A|, |B|, |C|).
+int32_t score_impl(const uint8_t* a, int32_t la, const uint8_t* b,
+                   int32_t lb, const uint8_t* c, int32_t lc,
+                   const Params& p) {
     if (la <= 0 || lb <= 0 || lc <= 0) return 0;
-    const Params p{match, mismatch, gap_open, gap_extend, s3_mode == 0};
 
     // Transition weights W[t][s] from the consume-set rule (the 49 wired
     // constants of the PE datapath).
@@ -134,17 +135,15 @@ int32_t trialign_score(const uint8_t* a, int32_t la, const uint8_t* b,
 // actions: caller buffer of capacity >= la + lb + lc (int8 matrix codes,
 // newest-first).  stop: int32[3], the (i, j, k) the walk stopped at.
 // Returns the action count, or -1 if the buffer is too small.
-int32_t trialign_align(const uint8_t* a, int32_t la, const uint8_t* b,
-                       int32_t lb, const uint8_t* c, int32_t lc,
-                       int32_t match, int32_t mismatch, int32_t gap_open,
-                       int32_t gap_extend, int32_t s3_mode, int32_t* score,
-                       int8_t* actions, int32_t cap, int32_t* stop) {
+int32_t align_impl(const uint8_t* a, int32_t la, const uint8_t* b,
+                   int32_t lb, const uint8_t* c, int32_t lc,
+                   const Params& p, int32_t* score,
+                   int8_t* actions, int32_t cap, int32_t* stop) {
     *score = 0;
     stop[0] = la > 0 ? la : 0;
     stop[1] = lb > 0 ? lb : 0;
     stop[2] = lc > 0 ? lc : 0;
     if (la <= 0 || lb <= 0 || lc <= 0) return 0;
-    const Params p{match, mismatch, gap_open, gap_extend, s3_mode == 0};
 
     int32_t w[NM][NM];
     for (int t = 0; t < NM; ++t)
@@ -234,8 +233,52 @@ int32_t trialign_align(const uint8_t* a, int32_t la, const uint8_t* b,
     return n;
 }
 
+}  // namespace
+
+extern "C" {
+
+// s3_mode: 0 = sum-of-pairs, 1 = RTL quirk.
+int32_t trialign_score(const uint8_t* a, int32_t la, const uint8_t* b,
+                       int32_t lb, const uint8_t* c, int32_t lc,
+                       int32_t match, int32_t mismatch, int32_t gap_open,
+                       int32_t gap_extend, int32_t s3_mode) {
+    const Params p{match, mismatch, gap_open, gap_extend, s3_mode == 0};
+    return score_impl(a, la, b, lb, c, lc, p);
+}
+
+// Runtime-substitution-matrix variant: lut is the (256, 256) row-major
+// int32 pairwise table (Scoring.sub_lookup()); implies sum-of-pairs S3.
+int32_t trialign_score_sub(const uint8_t* a, int32_t la, const uint8_t* b,
+                           int32_t lb, const uint8_t* c, int32_t lc,
+                           int32_t gap_open, int32_t gap_extend,
+                           const int32_t* lut) {
+    Params p{0, 0, gap_open, gap_extend, true};
+    p.lut = lut;
+    return score_impl(a, la, b, lb, c, lc, p);
+}
+
+int32_t trialign_align(const uint8_t* a, int32_t la, const uint8_t* b,
+                       int32_t lb, const uint8_t* c, int32_t lc,
+                       int32_t match, int32_t mismatch, int32_t gap_open,
+                       int32_t gap_extend, int32_t s3_mode, int32_t* score,
+                       int8_t* actions, int32_t cap, int32_t* stop) {
+    const Params p{match, mismatch, gap_open, gap_extend, s3_mode == 0};
+    return align_impl(a, la, b, lb, c, lc, p, score, actions, cap, stop);
+}
+
+int32_t trialign_align_sub(const uint8_t* a, int32_t la, const uint8_t* b,
+                           int32_t lb, const uint8_t* c, int32_t lc,
+                           int32_t gap_open, int32_t gap_extend,
+                           const int32_t* lut, int32_t* score,
+                           int8_t* actions, int32_t cap, int32_t* stop) {
+    Params p{0, 0, gap_open, gap_extend, true};
+    p.lut = lut;
+    return align_impl(a, la, b, lb, c, lc, p, score, actions, cap, stop);
+}
+
 // Batch entry: n triplets with common max lengths (row-major padded arrays),
-// writes scores[n].
+// writes scores[n].  lut: optional (256, 256) substitution table (nullptr =
+// equality match/mismatch scoring).
 void trialign_score_batch(const uint8_t* as, const int32_t* las,
                           const uint8_t* bs, const int32_t* lbs,
                           const uint8_t* cs, const int32_t* lcs,
