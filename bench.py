@@ -460,9 +460,11 @@ def parent_main():
     probe = r.run_stage_raw("probe", 120)
     if probe is None:
         # The axon tunnel sometimes stalls for minutes on client init;
-        # one retry catches a recovered worker without burning the budget.
+        # one SHORT retry catches a just-recovered worker -- if the first
+        # probe burned its full 300s the tunnel is almost surely dead,
+        # and every second here delays the guaranteed smoke line.
         log("probe retry (axon init stalled or crashed)")
-        probe = r.run_stage_raw("probe", 150)
+        probe = r.run_stage_raw("probe", 150, cap=120.0)
     backend = (probe or {}).get("backend", "none")
     r.fields["backend"] = backend
     log(f"backend={backend} devices={(probe or {}).get('devices')} "
@@ -485,9 +487,14 @@ def parent_main():
         f"fields: {sorted(r.fields)}")
 
 
-def _run_stage_raw(self, name, est):
-    """Like run_stage but returns fields without emitting (probe)."""
+def _run_stage_raw(self, name, est, cap=None):
+    """Like run_stage but returns fields without emitting (probe).
+    ``cap`` bounds the timeout below the compile-headroom formula --
+    probes don't compile, and a dead tunnel hangs them to the limit
+    (measured drill: probe 300s + retry 330s before the smoke line)."""
     timeout = self._stage_timeout(est)
+    if cap is not None:
+        timeout = min(timeout, cap)
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--stage", name],
