@@ -7,10 +7,15 @@ Covers: scoring config, single alignment, alignment recovery, batching,
 long-sequence blocked alignment, checkpoint/resume, and the parity oracle.
 """
 
+import os
+import sys
+
 import numpy as np
 
-import trialign
-from trialign.config import Scoring, decode, encode
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import trialign  # noqa: E402
+from trialign.config import Scoring, decode, encode  # noqa: E402
 
 
 def main():
@@ -27,6 +32,15 @@ def main():
     sc = Scoring(match=2, mismatch=-1, gap_open=3, gap_extend=1, s3_mode="rtl")
     r = trialign.align("ACGT", "AGGT", "ACGT", scoring=sc)
     print(f"rtl-mode score={r.score}")
+
+    # A full runtime substitution matrix (the reference testbench's
+    # planned-never-wired 4x4 score ports) runs on the production kernels
+    # via select-chain tables -- and through full alignment recovery:
+    blosum_ish = ((2, -1, -1, 0), (-1, 2, 0, -1), (-1, 0, 2, -1), (0, -1, -1, 2))
+    r = trialign.align("ACGTACGT", "ACGTCGT", "ACGGTACT",
+                       scoring=Scoring(submatrix=blosum_ish),
+                       return_alignment=True)
+    print(f"submatrix score={r.score}")
 
     # --- 4. Batch of independent triplets (MSA pre-alignment mode) ------
     rng = np.random.default_rng(0)
