@@ -43,6 +43,28 @@ def test_blocked_compiled_parity(rng):
 
 @pytest.mark.tpu
 @tpu_only
+def test_score_bits_compiled_parity(rng):
+    """RTL bit-parity wrap (score_bits) must compile under Mosaic and
+    match the golden emulation on both Pallas kernels, including real
+    overflow through the blocked path's HBM faces."""
+    from trialign.kernels.blocked import align_blocked
+    from trialign.kernels.wavefront import align_wavefront
+
+    a, b, c = random_triplet(rng, 100, 120, 140)
+    assert align_wavefront(a, b, c, score_bits=12) == \
+        align_planes_numpy(a, b, c, score_bits=12)
+    # Real overflow through the blocked path's faces: 8-bit wrap (same
+    # mechanism as the RTL's 12-bit, cheap enough for the 1-CPU oracle --
+    # 12-bit overflow needs |A| ~ 700+, ~10 min of golden sweep).
+    seq = np.full(100, 2, np.uint8)  # all-match: score 3*100 > 2^7, wraps
+    want = align_planes_numpy(seq, seq, seq, score_bits=8)
+    assert align_blocked(seq, seq, seq, score_bits=8,
+                         block_shape=(64, 128)) == want
+    assert want != align_planes_numpy(seq, seq, seq)  # wrap actually bit
+
+
+@pytest.mark.tpu
+@tpu_only
 def test_submatrix_compiled_parity(rng):
     """Select-chain submatrix tables (plane_math.submatrix_tables) must
     compile under Mosaic and match the oracle on both Pallas kernels."""
