@@ -247,3 +247,28 @@ def test_fuzz_submatrix_pallas_and_blocked_match_golden(rng):
     a, b, c = random_triplet(rng, 18, 28, 140)
     want = align_planes_numpy(a, b, c, sc)
     assert align_blocked(a, b, c, sc, block_shape=(24, 128)) == want
+
+
+def test_submatrix_with_score_bits_composes(rng):
+    """Runtime submatrix AND RTL register wrap together: every compiled
+    backend must reproduce the golden emulation bit-for-bit through real
+    overflow (big positive matrix values force it at short lengths)."""
+    from trialign.api import align
+    from trialign.kernels.blocked import align_blocked
+    from trialign.kernels.wavefront import align_wavefront
+    from trialign.kernels.xla_ref import align_xla
+
+    sub = ((6, -2, -1, 0), (-2, 6, 0, -1), (-1, 0, 6, -1), (0, -1, -1, 6))
+    sc = Scoring(submatrix=sub)
+    seq = np.full(30, 1, np.uint8)
+    clean = align_planes_numpy(seq, seq, seq, sc)
+    for bits in (6, 8):
+        want = align_planes_numpy(seq, seq, seq, sc, score_bits=bits)
+        assert want != clean  # overflow actually occurred
+        assert align_xla(seq, seq, seq, sc, score_bits=bits) == want
+        assert align_wavefront(seq, seq, seq, sc, interpret=True,
+                               score_bits=bits) == want
+        assert align_blocked(seq, seq, seq, sc, block_shape=(24, 128),
+                             score_bits=bits) == want
+    res = align(seq, seq, seq, sc, score_bits=8)  # auto-routing composes
+    assert res.score == align_planes_numpy(seq, seq, seq, sc, score_bits=8)
