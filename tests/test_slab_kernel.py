@@ -60,6 +60,24 @@ def test_forward_slab_rtl_scoring(rng):
     np.testing.assert_array_equal(s_ref, s_got)
 
 
+def test_slab_submatrix_parity(rng):
+    """Runtime substitution matrix through BOTH slab variants: elementwise
+    equality vs the numpy engine (which scores via pair_score), forward
+    capture and backward suffix slab."""
+    m = rng.integers(-3, 4, size=(4, 4))
+    m = ((m + m.T) // 2).astype(int)
+    sc = Scoring(submatrix=tuple(tuple(int(v) for v in row) for row in m))
+    a, b, c = random_triplet(rng, 12, 24, 100)
+    (f_ref, s_ref, _), (f_got, s_got) = fwd_pair(a, b, c, sc, "free")
+    np.testing.assert_array_equal(f_ref, f_got)
+    np.testing.assert_array_equal(s_ref, s_got)
+    ref = backward_slab(a, b, c, sc)
+    got = slab.backward_slab_blocked_async(
+        a, b, c, sc, block_shape=BS, interpret=True
+    )()
+    np.testing.assert_array_equal(ref, got)
+
+
 @pytest.mark.heavy
 @pytest.mark.parametrize("end_state", [None, 0, 3])
 def test_backward_slab_parity(rng, end_state):

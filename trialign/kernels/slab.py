@@ -56,6 +56,8 @@ from trialign.kernels.blocked import (
 )
 from trialign.kernels.plane_math import (
     fused_plane_update_m7,
+    submatrix_pair,
+    submatrix_tables,
     target_update,
     transition_groups,
 )
@@ -141,7 +143,17 @@ def _slab_sweep(
     kl = jax.lax.broadcasted_iota(jnp.int32, (hb, wc), 1)
     jk = jl + kl
     edge = (jl >= 1) & (kl >= 1)
-    s_bc = jnp.where(bp == cp, match, mismatch)
+    if scoring.submatrix is None:
+        s_bc = jnp.where(bp == cp, match, mismatch)
+    else:
+        # Runtime submatrix: same select-chain tables as the score sweep
+        # (plane_math.submatrix_tables; engine._subs uses pair_score, so
+        # elementwise parity carries over to both variants -- the backward
+        # step consumes the SAME s_ab/s_bc/s_ac planes, only keyed by
+        # source state).
+        sub_sb, sub_sc, s_bc, sub_floor = submatrix_tables(
+            bp, cp, scoring.submatrix, jnp.int32, jnp.where
+        )
     cellmask = (jl == jlstar) & (kl == klstar)
     negp = zero + NEGi
 
@@ -236,8 +248,12 @@ def _slab_sweep(
         for u in range(UNB):
             q = UNB * it + u + 1
             ap = win[UNB - 1 - u : UNB - 1 - u + hb, :]
-            s_ab = jnp.where(ap == bp, match, mismatch)
-            s_ac = jnp.where(ap == cp, match, mismatch)
+            if scoring.submatrix is not None:
+                s_ab = submatrix_pair(ap, sub_sb, sub_floor, jnp.where)
+                s_ac = submatrix_pair(ap, sub_sc, sub_floor, jnp.where)
+            else:
+                s_ab = jnp.where(ap == bp, match, mismatch)
+                s_ac = jnp.where(ap == cp, match, mismatch)
             if sop:
                 s3 = s_ab + s_ac + s_bc
             else:
@@ -396,8 +412,11 @@ def _slab_scratch_shapes(hb, wc, unb):
     ]
 
 
-def _live_planes(variant):
-    return FWD_LIVE_PLANES if variant == "fwd" else BWD_LIVE_PLANES
+def _live_planes(variant, scoring=Scoring()):
+    base = FWD_LIVE_PLANES if variant == "fwd" else BWD_LIVE_PLANES
+    if scoring.submatrix is not None:
+        base += 2 * len(scoring.submatrix) + 1  # select-chain tables
+    return base
 
 
 def make_slab_grid_call(dims: Tuple, scoring: Scoring, variant: str,
@@ -455,7 +474,7 @@ def make_slab_grid_call(dims: Tuple, scoring: Scoring, variant: str,
         scratch_shapes=_slab_scratch_shapes(hb, wc, unb),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=_vmem_limit_for(dims, _live_planes(variant)),
+            vmem_limit_bytes=_vmem_limit_for(dims, _live_planes(variant, scoring)),
         ),
     )
 
@@ -512,7 +531,7 @@ def make_slab_block_call(dims: Tuple, scoring: Scoring, variant: str,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=_vmem_limit_for(dims, _live_planes(variant)),
+            vmem_limit_bytes=_vmem_limit_for(dims, _live_planes(variant, scoring)),
         ),
     )
 
@@ -702,7 +721,7 @@ def split_point_blocked_async(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    fdims = _plan(m, lb, lc, FWD_LIVE_PLANES, None)
+    fdims = _plan(m, lb, lc, _live_planes('fwd', scoring), None)
     flens, fa, fb, fc = prep_blocked(a[:m], b, c, fdims)
     ev0 = np.zeros(NUM_MATRICES, np.int32)
     _, fcap = _slab_core(
@@ -712,7 +731,7 @@ def split_point_blocked_async(
     )
 
     ra = a[m:][::-1].copy()
-    gdims = _plan(la - m, lb, lc, BWD_LIVE_PLANES, None)
+    gdims = _plan(la - m, lb, lc, _live_planes('bwd', scoring), None)
     glens, ga, gb, gc = prep_blocked(ra, b[::-1].copy(), c[::-1].copy(),
                                      gdims)
     ev = (end_v if end_v is not None
@@ -769,7 +788,7 @@ def forward_slab_blocked_async(
     assert min(la, lb, lc) >= 1, (la, lb, lc)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    dims = _plan(la, lb, lc, FWD_LIVE_PLANES, block_shape)
+    dims = _plan(la, lb, lc, _live_planes('fwd', scoring), block_shape)
     lens, a_ext, b_arr, c_arr = prep_blocked(a, b, c, dims)
     ev = np.zeros(NUM_MATRICES, np.int32)
     res, cap = _slab_core(
@@ -807,7 +826,7 @@ def backward_slab_blocked_async(
     assert min(la, lb, lc) >= 1, (la, lb, lc)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    dims = _plan(la, lb, lc, BWD_LIVE_PLANES, block_shape)
+    dims = _plan(la, lb, lc, _live_planes('bwd', scoring), block_shape)
     lens, a_ext, b_arr, c_arr = prep_blocked(ra, rb, rc, dims)
     ev = (end_v if end_v is not None
           else np.zeros(NUM_MATRICES)).astype(np.int32)

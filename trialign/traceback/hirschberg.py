@@ -65,7 +65,7 @@ Column = Tuple[int, int, int]
 def _use_pallas_slab(la: int, lb: int, lc: int, scoring) -> bool:
     if os.environ.get("TRIALIGN_SLAB_FORCE") == "1":
         return True
-    if scoring.submatrix is not None or min(la, lb, lc) < 1:
+    if min(la, lb, lc) < 1:
         return False
     if (la + 1) * (lb + 1) * (lc + 1) < SLAB_PALLAS_CELLS:
         return False
