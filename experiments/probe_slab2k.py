@@ -11,9 +11,13 @@ Measures (on the real chip):
 Run standalone under timeout; results go to the round notes / BASELINE.md.
 """
 
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

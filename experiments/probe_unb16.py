@@ -25,10 +25,13 @@ P = 32
 
 
 def make_class(lo_mid, hi_mid, hi_min, n=P):
+    # The workload caps every length at 512, so lb (the mid length after
+    # rotation) draws from [lo_mid, min(hi_mid, 512)] and la >= lb -- the
+    # class bound hi_mid may exceed 512 (e.g. the (520, 256) class).
     trips = []
     for _ in range(n):
-        la = int(rng.integers(hi_mid, 513))
-        lb = int(rng.integers(lo_mid, hi_mid))
+        lb = int(rng.integers(lo_mid, min(hi_mid, 512) + 1))
+        la = int(rng.integers(lb, 513))
         lc = int(rng.integers(128, hi_min))
         trips.append(tuple(rng.integers(0, 4, s).astype(np.uint8)
                            for s in (la, lb, lc)))
@@ -72,7 +75,12 @@ def probe(name, t_hb, t_wc, t_unb, trips):
 
 c1 = make_class(327, 455, 382)
 c2 = make_class(327, 519, 254)
-for unb in (8, 16):
-    probe("tall-1", 456, 384, unb, c1)
-for unb in (8, 16):
-    probe("tall-2", 520, 256, unb, c2)
+# Per-case isolation: a spill/OOM at one (class, unb) must not kill the
+# rest of the sweep (the TPU window is scarce).
+for name, hb_, wc_, cls in (("tall-1", 456, 384, c1), ("tall-2", 520, 256, c2)):
+    for unb in (8, 16):
+        try:
+            probe(name, hb_, wc_, unb, cls)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name} unb={unb}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
