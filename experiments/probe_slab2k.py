@@ -32,6 +32,10 @@ def main():
     from trialign.config import Scoring
 
     print("backend:", jax.default_backend(), flush=True)
+    if jax.default_backend() != "tpu":
+        print("TPU probe: 2k^3 interpret-mode would run for hours; exiting",
+              flush=True)
+        return
     sc = Scoring()
     rng = np.random.default_rng(42)
     n = 2048
