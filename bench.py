@@ -266,9 +266,11 @@ def stage_traceback_2k():
     a, b, c = (rng.integers(0, 4, 2048).astype(np.uint8) for _ in range(3))
     res = align(a, b, c, return_alignment=True)  # compile + warm
     assert rescore_alignment(res.alignment) == res.score
-    t0 = _t.perf_counter()
-    align(a, b, c, return_alignment=True)
-    best = _t.perf_counter() - t0
+    best = float("inf")
+    for _ in range(2):  # min-of-trials per the measurement discipline
+        t0 = _t.perf_counter()
+        align(a, b, c, return_alignment=True)
+        best = min(best, _t.perf_counter() - t0)
     log(f"2k^3 FULL alignment (score + traceback, warm): {best:.2f} s "
         "(rescore-validated)")
     return {"traceback_2k_s": round(best, 3)}

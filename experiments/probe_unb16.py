@@ -26,12 +26,15 @@ P = 32
 
 def make_class(lo_mid, hi_mid, hi_min, n=P):
     # The workload caps every length at 512, so lb (the mid length after
-    # rotation) draws from [lo_mid, min(hi_mid, 512)] and la >= lb -- the
-    # class bound hi_mid may exceed 512 (e.g. the (520, 256) class).
+    # rotation) draws from [lo_mid, min(hi_mid, 512)] and la from
+    # [min(hi_mid, 512), 512] -- preserving round-2's tall-A distribution
+    # (la >= the class's mid bound) for comparability; the class bound
+    # hi_mid may exceed 512 (the (520, 256) class), where la pins to 512.
     trips = []
+    la_lo = min(hi_mid, 512)
     for _ in range(n):
-        lb = int(rng.integers(lo_mid, min(hi_mid, 512) + 1))
-        la = int(rng.integers(lb, 513))
+        lb = int(rng.integers(lo_mid, la_lo + 1))
+        la = int(rng.integers(la_lo, 513))
         lc = int(rng.integers(128, hi_min))
         trips.append(tuple(rng.integers(0, 4, s).astype(np.uint8)
                            for s in (la, lb, lc)))

@@ -4,6 +4,7 @@
 import numpy as np
 import pytest
 
+from trialign.config import Scoring
 from trialign.golden import align_planes_numpy
 from tests.conftest import random_triplet
 
@@ -146,3 +147,34 @@ def test_batch_bucketed_mixed_lengths(rng):
     got = align_batch_bucketed(trips, chain=2)
     want = [align_planes_numpy(a, b, c) for a, b, c in trips]
     assert got == want
+
+
+def test_batch_submatrix_padded_and_bucketed(rng):
+    """align_batch with a runtime submatrix rides the batched production
+    path (padded vmap; long triplets through the bucketed/blocked route)
+    and matches the golden model; big alphabets fall back to per-item
+    XLA (PARITY.md quirk 5)."""
+    from trialign.api import align_batch
+    from trialign.dist.batch import align_batch_padded
+
+    m = rng.integers(-3, 4, size=(4, 4))
+    m = ((m + m.T) // 2).astype(int)
+    sc = Scoring(submatrix=tuple(tuple(int(v) for v in row) for row in m))
+    trips = [
+        tuple(rng.integers(0, 4, int(n)).astype(np.uint8) for n in dims)
+        for dims in rng.integers(2, 40, size=(8, 3))
+    ]
+    # One beyond-wavefront-cap triplet exercises the bucketed/blocked leg.
+    trips.append(tuple(rng.integers(0, 4, n).astype(np.uint8)
+                       for n in (20, 30, 280)))
+    want = [align_planes_numpy(*t, sc) for t in trips]
+    got = [r.score for r in align_batch(trips, sc)]
+    assert got == want
+    assert align_batch_padded(trips, sc) == want
+    # Big alphabet: still exact, via the XLA fallback.
+    big = tuple(tuple(2 if i == j else -1 for j in range(10))
+                for i in range(10))
+    sc_big = Scoring(submatrix=big)
+    small = trips[:3]
+    want_big = [align_planes_numpy(*t, sc_big) for t in small]
+    assert [r.score for r in align_batch(small, sc_big)] == want_big

@@ -74,11 +74,6 @@ def test_emit_json_line_shape(bench, capsys):
 def test_parent_module_is_jax_free(bench):
     """The orchestrating parent must never import jax: with the tunnel
     down, axon client init can hang any jax-importing process."""
-    assert "jax" not in sys.modules or not any(
-        getattr(v, "__module__", "").startswith("bench")
-        for v in vars(bench).values()
-        if getattr(v, "__module__", None) == "jax"
-    )
     src = open(os.path.join(HERE, "bench.py")).read()
     import ast
 

@@ -212,11 +212,17 @@ def test_submatrix_validation_and_routing(rng):
     try:
         from trialign.native import is_available
 
-        if is_available():
-            res_n = align(a, b, c, sc, backend="native")
-            assert res_n.score == align_planes_numpy(a, b, c, sc)
+        native_ok = is_available()
     except Exception:
-        pass  # toolchain missing
+        native_ok = False  # toolchain missing
+    if native_ok:
+        res_n = align(a, b, c, sc, backend="native")
+        assert res_n.score == align_planes_numpy(a, b, c, sc)
+    # Big alphabet + score_bits + auto must route, not raise.
+    res_bits = align(a, b, c, sc_big, score_bits=8)
+    assert res_bits.backend == "xla"
+    assert res_bits.score == align_planes_numpy(a, b, c, sc_big,
+                                                score_bits=8)
 
 
 def test_fuzz_submatrix_pallas_and_blocked_match_golden(rng):

@@ -98,6 +98,14 @@ def align(
             backend = _pick_backend(la, lb, lc)
             if backend not in ("pallas", "pallas_interpret", "blocked"):
                 backend = "xla"
+            if scoring.submatrix is not None:
+                # Alphabets past the select-chain cap can't ride the
+                # Pallas kernels; wrap-capable AND submatrix-capable
+                # means golden/xla then.
+                from trialign.kernels.wavefront import SUBMATRIX_NSYM_CAP
+
+                if len(scoring.submatrix) > SUBMATRIX_NSYM_CAP:
+                    backend = "xla"
         if backend not in ("golden", "xla", "pallas", "pallas_interpret",
                            "blocked"):
             raise ValueError(

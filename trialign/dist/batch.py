@@ -185,6 +185,12 @@ def align_batch_padded(
     ):
         return align_batch_bucketed(triplets, scoring)
     lens, askew, bp, cp, lab, hb, wc = prep_padded(triplets)
+    if (scoring.submatrix is not None
+            and len(scoring.submatrix) > wf.SUBMATRIX_NSYM_CAP):
+        # Alphabets past the select-chain cap can't ride the Pallas
+        # kernel (its bucket geometry does not budget the 2*nsym+1 table
+        # planes); the XLA engine evaluates the same tables at any size.
+        engine = "xla"
     if engine is None:
         engine, interpret = _pick_engine()
     else:
@@ -480,6 +486,9 @@ def align_batch_sharded(
         padded.append(padded[0])  # harmless duplicates, sliced off below
 
     lens, askew, bp, cp, lab, hb, wc = prep_padded(padded)
+    if (scoring.submatrix is not None
+            and len(scoring.submatrix) > wf.SUBMATRIX_NSYM_CAP):
+        engine = "xla"  # past the Pallas select-chain cap (align_batch_padded)
     if engine is None:
         engine, interpret = _pick_engine()
     else:

@@ -1161,8 +1161,7 @@ def align_blocked_async(
     assert pla >= la and plb >= lb and plc >= lc, (plan_lens, (la, lb, lc))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    live = 16 if scoring.submatrix is None else \
-        16 + 2 * len(scoring.submatrix) + 1
+    live = _live_planes_for(scoring)
     if block_shape:
         hb, wc = block_shape[0], block_shape[1]
         unb = block_shape[2] if len(block_shape) > 2 else DEF_UNB

@@ -277,8 +277,8 @@ int32_t trialign_align_sub(const uint8_t* a, int32_t la, const uint8_t* b,
 }
 
 // Batch entry: n triplets with common max lengths (row-major padded arrays),
-// writes scores[n].  lut: optional (256, 256) substitution table (nullptr =
-// equality match/mismatch scoring).
+// writes scores[n].  Equality scoring only -- submatrix batches ride the
+// batched device path (api.align_batch); per-item use trialign_score_sub.
 void trialign_score_batch(const uint8_t* as, const int32_t* las,
                           const uint8_t* bs, const int32_t* lbs,
                           const uint8_t* cs, const int32_t* lcs,
