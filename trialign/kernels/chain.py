@@ -252,7 +252,9 @@ def align_chain(
     distinct final cells per block.  Use align_batch_chained for arbitrary
     batches -- it buckets, packs and dispatches chains automatically."""
     if scoring.submatrix is not None:
-        raise ValueError("submatrix scoring: use the 'golden'/'xla' backends")
+        raise ValueError("submatrix scoring is not wired into the hetero "
+                         "band-select ring: use api.align_batch (it routes "
+                         "submatrix batches through the padded/bucketed path)")
     triplets = [tuple(np.asarray(s) for s in t) for t in triplets]
     if not triplets:
         return []

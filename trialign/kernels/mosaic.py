@@ -484,7 +484,9 @@ def align_batch_mosaic(
     canvases; see _sharded_canvas_fn); tall/residue problems stay on the
     default device."""
     if scoring.submatrix is not None:
-        raise ValueError("submatrix scoring: use the 'golden'/'xla' backends")
+        raise ValueError("submatrix scoring is not wired into the hetero "
+                         "band-select ring: use api.align_batch (it routes "
+                         "submatrix batches through the padded/bucketed path)")
     triplets = [tuple(np.asarray(s) for s in t) for t in triplets]
     sop = scoring.s3_mode == "sop"
     out = [0] * len(triplets)
