@@ -105,9 +105,44 @@ def test_mosaic_tall_class_choice_and_blocked_residue(rng, small_canvas,
         _rt(rng, 90, 90, 200),   # mid 90, min 90: no class -> blocked
         _rt(rng, 10, 12, 14),    # canvas
     ]
-    got = M.align_batch_mosaic(trips)
+    got = M.align_batch_mosaic(trips, residue_route="blocked")
     assert got == [align_planes_numpy(*t) for t in trips]
     assert (100, 64) in picked and (80, 128) not in picked
+
+
+def test_residue_route_model(small_canvas):
+    """The residue router's lane-slot model: many near-cubic problems
+    amortize the chain ramp (-> dynamic chain class), a singleton pays
+    full band tax for nothing (-> blocked)."""
+    M = small_canvas
+    mk = lambda la, lb, lc: (np.zeros(la, np.uint8), np.zeros(lb, np.uint8),
+                             np.zeros(lc, np.uint8))
+    many = [(i, mk(100, 85 + i % 4, 40 + i % 4)) for i in range(8)]
+    blocked_items, grp = M._route_residue(many)
+    assert grp is not None and not blocked_items
+    dims_r, chains = grp
+    assert sum(len(c) for c in chains) == 8
+    assert all(len(c) <= M.CH_P_CAP for c in chains)
+    # force flags override the model both ways
+    assert M._route_residue(many, force="blocked") == (many, None)
+    one = [(0, mk(100, 85, 40))]
+    assert M._route_residue(one, force="chain")[1] is not None
+
+
+def test_residue_chain_route_parity(rng, small_canvas):
+    """Residue through the dynamic hetero-chain class (two chains: a
+    shared final cell splits the pack) scores exactly, and agrees with
+    the forced-blocked route."""
+    M = small_canvas
+    trips = [
+        _rt(rng, 100, 85, 40),
+        _rt(rng, 95, 88, 42),
+        _rt(rng, 98, 85, 40),    # collides with #0's final cell -> chain 2
+        _rt(rng, 10, 12, 14),    # canvas
+    ]
+    want = [align_planes_numpy(*t) for t in trips]
+    assert M.align_batch_mosaic(trips, residue_route="chain") == want
+    assert M.align_batch_mosaic(trips, residue_route="blocked") == want
 
 
 def test_mosaic_sharded_canvas(rng, small_canvas):

@@ -467,22 +467,66 @@ def _sharded_canvas_fn(dims, scoring, interpret, mesh, nloc):
     ))
 
 
+def _route_residue(residue, force=None):
+    """Route the tall residue (problems fitting no TALL_SHAPES class):
+    returns (blocked_items, (dims, chains) | None).
+
+    Near-cubic big problems either run as per-problem blocked sweeps (a
+    full tb+tc ramp each, one shared plan_lens geometry) or fuse into a
+    DYNAMIC hetero-chain class (ramp amortized across the chain, band-
+    select tax per step).  Modeled swept lane-slots decide: chains win
+    once a few problems amortize the ramp (the BASELINE mixed-1024
+    workload's 84-problem residue models ~681 ms blocked vs ~550 ms
+    chained at the measured ~29.5 G lane-slots/s), blocked wins for
+    singletons.  ``force`` ("blocked" | "chain") overrides the model --
+    for A/B measurement and fleet-coverage tests."""
+    if force == "blocked":
+        return residue, None
+    caps = tuple(max(len(rt[ax]) for _, rt in residue) for ax in range(3))
+    shape = CH.choose_chain_shape(caps[0], caps[1], caps[2], CH_P_CAP)
+    dims_r = CH.plan_hetero(caps[0], caps[1], caps[2], CH_P_CAP, *shape)
+    hb_r, wc_r = dims_r[0], dims_r[1]
+    njb_r, nkb_r, qqb_r = dims_r[3], dims_r[4], dims_r[5]
+    nb_r = dims_r[13]
+    chains = CH.pack_chains(residue, max_p=CH_P_CAP)
+    cost_chain = 0
+    for chain in chains:
+        la_max = max(len(rt[0]) for _, rt in chain)
+        dd = CH.chain_pitch(la_max, hb_r, wc_r)
+        qq = min(len(chain) * dd + hb_r + wc_r - 2, qqb_r)
+        cost_chain += njb_r * nkb_r * qq * hb_r * wc_r
+    # Hetero band-select tax: ~5% per static band (the coefficient
+    # choose_chain_shape's own work model uses) plus a 10% margin for the
+    # ring DMAs and runtime-bound skip overhead.
+    cost_chain *= 1.1 + 0.05 * nb_r
+    bshape = BK.choose_block_shape(*caps)
+    bdims = BK.plan_dims(*caps, *bshape)
+    cost_blocked = (len(residue) * bdims[3] * bdims[4] * bdims[5]
+                    * bdims[0] * bdims[1])
+    if force == "chain" or cost_chain < cost_blocked:
+        return [], (dims_r, chains)
+    return residue, None
+
+
 def align_batch_mosaic(
     triplets: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
     scoring: Scoring = Scoring(),
     mesh=None,
+    residue_route: str = "auto",
 ) -> List[int]:
     """Batch scoring through mosaic tiling: ONE kernel compile, a few
     large dispatches, scores in input order.
 
     Problems beyond the canvas (|B| + 2 > HB or |C| + 2 > WC after
-    rotation) or with empty sequences route to the tall-class/blocked/zero
-    paths.
+    rotation) route to the tall classes; near-cubic problems fitting no
+    class go to a dynamic hetero-chain class or per-problem blocked
+    sweeps, whichever models cheaper (``residue_route`` = "auto", or
+    force "chain" / "blocked"); empty sequences score 0 without dispatch.
 
     ``mesh``: a jax.sharding.Mesh with a 'data' axis spreads the canvas
-    dispatches across its devices (each device sweeps its own packed
-    canvases; see _sharded_canvas_fn); tall/residue problems stay on the
-    default device."""
+    dispatches AND the tall/residue chain and blocked fleets across its
+    devices (see _sharded_canvas_fn / _sharded_chain_fn /
+    _sharded_blocked_fn)."""
     if scoring.submatrix is not None:
         raise ValueError("submatrix scoring is not wired into the hetero "
                          "band-select ring: use api.align_batch (it routes "
@@ -501,13 +545,18 @@ def align_batch_mosaic(
             continue
         items.append((i, rt))
     # Tall problems (mid length beyond the canvas rows): route through
-    # the smallest tall class that fits; the residue goes blocked.  All
-    # chain dispatches queue asynchronously (device_get at the end) so
-    # host prep overlaps device compute, matching the canvas path.
+    # the smallest tall class that fits; the residue (near-cubic big
+    # problems fitting no class) goes through a DYNAMIC hetero-chain
+    # class when the modeled sweep is cheaper than per-problem blocked
+    # sweeps (_route_residue), else blocked.  All chain dispatches queue
+    # asynchronously (device_get at the end) so host prep overlaps
+    # device compute, matching the canvas path.
     tall_pending = []
-    blocked_residue = []  # fits no tall class: near-cubic big problems
+    blocked_residue = []  # modeled cheaper per-problem blocked than chained
+    chain_groups = []  # [(dims, jobs)]: tall classes + dynamic residue class
     if tall:
         by_class = {si: [] for si in range(len(TALL_SHAPES))}
+        residue = []
         for i, rt in tall:
             cands = [si for si, (t_hb, t_wc, _) in enumerate(TALL_SHAPES)
                      if len(rt[1]) < t_hb and len(rt[2]) < t_wc - 1]
@@ -520,16 +569,14 @@ def align_batch_mosaic(
                          key=lambda s: TALL_SHAPES[s][0] * TALL_SHAPES[s][1])
                 by_class[si].append((i, rt))
             else:
-                blocked_residue.append((i, rt))
-        ndata_t = mesh.shape.get("data", 1) if mesh is not None else 1
-        interp_t = jax.default_backend() != "tpu"
+                residue.append((i, rt))
         for si, chainable in by_class.items():
             if not chainable:
                 continue
             t_hb, t_wc, t_unb = TALL_SHAPES[si]
-            la_cap = max(len(rt[0]) for _, rt in chainable)
+            la_cap_c = max(len(rt[0]) for _, rt in chainable)
             # la >= mid > canvas rows, so the pitch floor allows 4 bands.
-            dims_t = CH.plan_hetero(la_cap, t_hb - 1, t_wc - 2, CH_P_CAP,
+            dims_t = CH.plan_hetero(la_cap_c, t_hb - 1, t_wc - 2, CH_P_CAP,
                                     t_hb, t_wc, t_unb, nb=4)
             jobs = []
             for chain in CH.pack_chains(chainable, max_p=CH_P_CAP):
@@ -542,6 +589,27 @@ def align_batch_mosaic(
                 )
                 jobs.append((a_ext, b_all, c_all, qcap, dd, len(chain),
                              chain, cells))
+            chain_groups.append((dims_t, jobs))
+        if residue:
+            force = None if residue_route == "auto" else residue_route
+            blocked_residue, grp = _route_residue(residue, force)
+            if grp is not None:
+                dims_r, chains_r = grp
+                t_hb, t_wc = dims_r[0], dims_r[1]
+                jobs = []
+                for chain in chains_r:
+                    la_max = max(len(rt[0]) for _, rt in chain)
+                    dd = CH.chain_pitch(la_max, t_hb, t_wc)
+                    a_ext, b_all, c_all, qcap, cells = CH.prep_hetero(
+                        [rt for _, rt in chain], dims_r, dd
+                    )
+                    jobs.append((a_ext, b_all, c_all, qcap, dd, len(chain),
+                                 chain, cells))
+                chain_groups.append((dims_r, jobs))
+    if chain_groups:
+        ndata_t = mesh.shape.get("data", 1) if mesh is not None else 1
+        interp_t = jax.default_backend() != "tpu"
+        for dims_t, jobs in chain_groups:
             if ndata_t > 1 and len(jobs) > 1:
                 # ~half the mixed-batch work is tall: spread the class's
                 # chains over the mesh like the canvas dispatches.
