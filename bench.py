@@ -459,6 +459,8 @@ class Runner:
 
 def parent_main():
     r = Runner()
+    log(f"=== bench session start {time.strftime('%Y-%m-%d %H:%M:%S')} "
+        f"(budget {r.budget:.0f}s) ===")
     probe = r.run_stage_raw("probe", 120)
     if probe is None:
         # The axon tunnel sometimes stalls for minutes on client init;
