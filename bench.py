@@ -479,6 +479,11 @@ def parent_main():
         # hang the same way and the bench would emit nothing.
         # force=True: this is the bench's last chance to emit anything --
         # run it even if the probe (re)tries consumed the budget.
+        r.fields["note"] = (
+            "TPU tunnel unavailable at bench time; hardware-measured "
+            "numbers with provenance are in BENCH_NOTES_r03.md and "
+            "bench_err.log"
+        )
         r.run_stage("cpu_smoke", 150, extra_env={"TRIALIGN_FORCE_CPU": "1"},
                     force=True)
         return
