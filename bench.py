@@ -327,16 +327,16 @@ STAGE_FNS = {
 # a high-value stage is a better spend than landing three tail stages).
 TPU_STAGES = [
     ("blocked_1k", 400),
+    ("traceback_1k", 350),   # round-4 deliverable: 204 s cold / 2.2 s warm
     ("chain_512", 400),
     ("hetero_512", 420),
     ("batch_mixed", 430),
+    ("traceback_2k", 500),
     ("single_512", 280),
     ("traceback_512", 300),
     ("chain_1k", 420),
     ("blocked_2k", 330),
-    ("traceback_1k", 300),
     ("roofline", 120),
-    ("traceback_2k", 500),
     ("parity_fixtures", 450),
     ("single_stream_255", 150),
 ]

@@ -1,13 +1,20 @@
-"""Round-3 probe: finer-grained tall classes A/B.
+"""Round-3/4 probe: finer-grained tall classes A/B.
 
-The fill-decomposition model (NEXT.md) says splitting the two tall
-hetero classes into five — (392,384) (456,384) (456,320) (520,256)
-(520,192), all under the VMEM cliff, identical coverage so the residue
-set is unchanged — saves ~144 ms (~9% of tall time, ~4.5% end-to-end) on
-the BASELINE mixed-1024 workload by shrinking the per-problem plane
-area.  Cost: 3 extra kernel compiles.  This probe measures both class
-sets on the real workload's tall subset, parity-checked; flip
-mosaic.TALL_SHAPES only if the measured win holds.
+The fill-decomposition model (NEXT.md) says finer tall hetero classes
+save ~9% of tall time on the BASELINE mixed-1024 workload by shrinking
+the per-problem plane area.  Round-4 revision: the first cut used
+wc = 320/192 classes, which the hardware rejects (HBM DMA slice minor
+dim must be a multiple of 128 — the askew slab slice is wc wide); this
+set keeps wc in {256, 384} and varies hb instead, adds a (520, 384)
+class that also moves lb>=454, lc in [255, 382) problems from the
+expensive residue route into a tall class, and applies the measured
+unb=16 win (probe_unb16: +9% at (456,384), compile 60 s vs 253 s)
+everywhere the VMEM model stays under the ~55 MB cliff ((520,384)
+stays unb=8: 2*unb stack planes would put it at ~54 MB).
+
+Measures 2cls (production), 2cls@unb16, and FIVE on the real
+workload's tall subset, parity-checked; flip mosaic.TALL_SHAPES only
+if the measured win holds.
 
 Run: python experiments/probe_tall5.py
 """
@@ -19,8 +26,9 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-FIVE = ((392, 384, 8), (456, 384, 8), (456, 320, 8), (520, 256, 8),
-        (520, 192, 8))
+TWO16 = ((456, 384, 16), (520, 256, 16))
+FIVE = ((392, 256, 16), (392, 384, 16), (456, 384, 16), (520, 256, 16),
+        (520, 384, 8))
 
 
 def main():
@@ -57,7 +65,8 @@ def main():
     saved = MZ.TALL_SHAPES
     results = {}
     try:
-        for name, shapes in (("2cls", saved), ("5cls", FIVE)):
+        for name, shapes in (("2cls", saved), ("2cls16", TWO16),
+                             ("5cls", FIVE)):
             MZ.TALL_SHAPES = shapes
             scores = MZ.align_batch_mosaic(tall, scoring)  # compile + warm
             best = float("inf")
@@ -71,15 +80,18 @@ def main():
     finally:
         MZ.TALL_SHAPES = saved
 
-    assert results["2cls"][1] == results["5cls"][1], "class-set scores differ"
+    for name in ("2cls16", "5cls"):
+        assert results["2cls"][1] == results[name][1], \
+            f"class-set scores differ: {name}"
     for i in np.random.default_rng(4).choice(len(tall), 3, replace=False):
         want = align_planes_numpy(*tall[i], scoring)
         assert results["5cls"][1][i] == want, (i, results["5cls"][1][i], want)
     print("parity OK (class sets agree + golden spot-checks)", flush=True)
-    a, b = results["2cls"][0], results["5cls"][0]
-    print(f"verdict: 5cls is {(a/b-1)*100:+.1f}% vs 2cls "
-          f"({a*1e3:.0f} -> {b*1e3:.0f} ms; model said -9% of tall)",
-          flush=True)
+    a = results["2cls"][0]
+    for name in ("2cls16", "5cls"):
+        b = results[name][0]
+        print(f"verdict: {name} is {(a/b-1)*100:+.1f}% vs 2cls "
+              f"({a*1e3:.0f} -> {b*1e3:.0f} ms)", flush=True)
 
 
 if __name__ == "__main__":

@@ -24,6 +24,20 @@ def test_halo_matches_golden(rng, ndev):
     assert got == want
 
 
+@pytest.mark.parametrize("overlap", [True, False])
+def test_halo_schedules_match_golden(rng, overlap):
+    """Round-3 VERDICT item 4: the ICI-overlapped one-step-lookahead
+    schedule (ppermute of last step's face concurrent with this step's
+    row sweep) and the tight schedule must both give exact parity."""
+    a, b, c = random_triplet(rng, 9, 40, 60 * 3)
+    want = align_planes_numpy(a, b, c)
+    got = align_sharded_triplet(
+        a, b, c, mesh=make_mesh(data=1, model=3), block_shape=(16, 128),
+        overlap=overlap,
+    )
+    assert got == want
+
+
 def test_halo_single_device_degenerates(rng):
     a, b, c = random_triplet(rng, 8, 30, 140)
     want = align_planes_numpy(a, b, c)
@@ -108,7 +122,12 @@ def test_choose_halo_shape_mesh_aligned(rng):
     n_kb = max(1, -(-lc // (wc - 1)))
     assert n_kb % ndev == 0, (hb, wc, n_kb)
     eff = halo_efficiency(la, lb, lc, ndev)
-    assert eff["total"] >= 0.5, eff
+    # 0.466 under the round-4 model (which now charges the ICI transfer
+    # and picks the tight/overlapped schedule per shape): this geometry
+    # is pipeline-bound (14 block rows on 8 stripes), and the best
+    # schedule hides the transfer entirely (transfer == 1.0).
+    assert eff["total"] >= 0.45, eff
+    assert eff["transfer"] >= 0.95, eff
     # Parity at the mesh-aware shape on a real (virtual) mesh.
     a, b, c = random_triplet(rng, la, 60, 280)
     want = align_planes_numpy(a, b, c)

@@ -30,17 +30,39 @@ def test_small_cases_recursive(rng, monkeypatch):
         _check(*random_triplet(rng, la, lb, lc))
 
 
-def test_direct_oom_falls_back_to_split(rng, monkeypatch):
-    """A RESOURCE_EXHAUSTED from the direct engine above the safe-size
-    floor falls through to the Hirschberg split instead of failing (the
-    1k^3 packed-choice buffer is ~13 GB of 16 GB HBM)."""
+# The round-3 driver's ACTUAL hardware failure text (bench_err.log): an
+# XLA compile-time HBM exhaustion wrapped in an INTERNAL error by the
+# remote-TPU tunnel -- note there is NO "RESOURCE_EXHAUSTED" anywhere.
+# The old fallback gate matched only that literal and let this crash
+# through; the gate must treat every dialect of memory exhaustion as a
+# split trigger.
+_REAL_OOM_TEXTS = [
+    'INTERNAL: HTTP 500: {"error": "failed to execute computation: '
+    "RESOURCE_EXHAUSTED: XLA:TPU compile permanent error. "
+    "Ran out of memory in memory space hbm. Used 18.68G of 15.75G hbm. "
+    'Exceeded hbm capacity by 2.93G."}',
+    "Ran out of memory in memory space hbm. Used 18.68G of 15.75G hbm. "
+    "Exceeded hbm capacity by 2.93G. Total hbm usage >= 18.94G: reserved "
+    "260.00M, program 8.92G, arguments 9.76G.",
+    "INTERNAL: Ran out of memory in memory space hbm.",
+    "RESOURCE_EXHAUSTED: while allocating",
+    "Allocation of 10737418240 bytes exceeds the limit",
+]
+
+
+@pytest.mark.parametrize("text", _REAL_OOM_TEXTS)
+def test_direct_oom_falls_back_to_split(rng, monkeypatch, text):
+    """A memory-exhaustion failure from the direct engine above the
+    safe-size floor falls through to the Hirschberg split instead of
+    failing -- for every dialect real hardware produces, including the
+    round-3 bench's actual compile-time-OOM-behind-HTTP-500 text."""
     import trialign.traceback.direct as D
 
     calls = []
 
     def boom(*a, **k):
         calls.append(1)
-        raise RuntimeError("RESOURCE_EXHAUSTED: while allocating")
+        raise RuntimeError(text)
 
     monkeypatch.setattr(H, "BASE_CELLS", 2000)
     monkeypatch.setattr(H, "_DIRECT_SAFE_CELLS", 0)
@@ -49,6 +71,41 @@ def test_direct_oom_falls_back_to_split(rng, monkeypatch):
     la, lb, lc = 16, 18, 20
     _check(*random_triplet(rng, la, lb, lc))
     assert calls  # the direct engine was attempted and rejected
+
+
+def test_direct_byte_gate_routes_oversize_proactively(rng, monkeypatch):
+    """When the footprint model says the direct engine cannot fit the
+    device, _solve must take the split WITHOUT attempting the engine
+    (no multi-minute doomed compile on hardware)."""
+    import trialign.traceback.direct as D
+
+    def boom(*a, **k):  # pragma: no cover - must not be reached
+        raise AssertionError("direct engine attempted despite byte gate")
+
+    monkeypatch.setattr(H, "BASE_CELLS", 2000)
+    monkeypatch.setattr(H, "DIRECT_CELLS", 10**9)
+    monkeypatch.setattr(D, "direct_traceback", boom)
+    monkeypatch.setattr(H, "_direct_fits", lambda la, lb, lc: False)
+    _check(*random_triplet(rng, 16, 18, 20))
+
+
+def test_direct_memory_model_and_budget():
+    """The footprint model matches the verified compiled peak at the 1k
+    class (AOT memory_analysis on TPU: args 10.17 GB aliased + 43 MB
+    temp), stays an overestimate, and the fallback budget is sane."""
+    from trialign.traceback.direct import (
+        device_memory_budget,
+        direct_memory_bytes,
+        direct_shapes,
+    )
+
+    qq, hb, wc = direct_shapes(1024, 1024, 1024)
+    assert (qq, hb, wc) == (3104, 1040, 1040)
+    modeled = direct_memory_bytes(1024, 1024, 1024)
+    compiled_peak = 10_172_523_520 + 43_492_864  # AOT-verified on v5e
+    assert modeled >= compiled_peak
+    assert modeled <= 1.2 * compiled_peak  # not so loose it rejects fits
+    assert device_memory_budget() > 2**30
 
 
 def test_direct_small_oom_reraises(rng, monkeypatch):

@@ -9,10 +9,21 @@ the distributed generalization of the reference's SRAM boundary-face
 exchange (SURVEY.md section 2: ICI halo exchange is the repo's analogue of
 context/sequence parallelism).
 
-Block rows pipeline across devices as a second-level wavefront: at step t,
-device d processes row jb = t - d, so D devices finish n_jb rows in
-n_jb + D - 1 steps (efficiency n_jb / (n_jb + D - 1), >= 80% once
-n_jb >= 4(D-1), mirroring the PE array's diagonal ramp one level up).
+Block rows pipeline across devices as a second-level wavefront.  Two
+schedules (``overlap`` flag):
+
+* tight (overlap=False): device d processes row jb = t - d; the face
+  ppermute sits on the critical path between steps, so each step costs
+  compute + transfer.  D devices finish in n_jb + D - 1 steps.
+* overlapped (overlap=True, default): device d processes row
+  jb = t - 2d, and the ppermute moves the face produced at step t-1
+  while step t's row sweep runs -- the permute's input (last step's
+  face) and the sweep are independent in the dataflow graph, so XLA's
+  latency-hiding scheduler runs the ICI transfer under the compute
+  (SURVEY section 7 hard part (e)).  Each step costs max(compute,
+  transfer); the ramp deepens to n_jb + 2(D - 1) steps.  Wins whenever
+  the transfer is a meaningful fraction of a step, which is exactly the
+  small-block regime the mesh-aware planner favors.
 """
 
 from __future__ import annotations
@@ -29,15 +40,17 @@ from trialign.config import NUM_MATRICES, PAD_SYMBOL, Scoring
 from trialign.kernels import blocked as BK
 
 
-def scaling_efficiency(n_jb: int, ndev: int) -> float:
+def scaling_efficiency(n_jb: int, ndev: int, overlap: bool = False) -> float:
     """Pipeline efficiency of the k-striped block grid on `ndev` chips.
 
-    Block rows pipeline as a second-level wavefront: D devices finish n_jb
-    rows in n_jb + D - 1 steps, so efficiency = n_jb / (n_jb + D - 1)
-    (>= 80% once n_jb >= 4(D-1)); the per-step ICI transfer is one column
-    face per block (8 * sr2 * hb int32, a few MB) against tens of ms of
-    block compute, so bandwidth is not the limit."""
-    return n_jb / (n_jb + ndev - 1)
+    Block rows pipeline as a second-level wavefront: D devices finish
+    n_jb rows in n_jb + D - 1 steps (tight schedule) or n_jb + 2(D - 1)
+    steps (overlapped schedule, where the per-step ICI transfer hides
+    under compute instead of adding to it -- see the module docstring).
+    The per-step transfer is one column-face slab (8 * sr2 * hb int32,
+    a few MB) against tens of ms of block compute."""
+    ramp = 2 * (ndev - 1) if overlap else (ndev - 1)
+    return n_jb / (n_jb + ramp)
 
 
 def choose_halo_shape(la: int, lb: int, lc: int, ndev: int,
@@ -48,10 +61,12 @@ def choose_halo_shape(la: int, lb: int, lc: int, ndev: int,
     about the stripe count, so its wide-wc picks leave n_kb << ndev and
     the k-padding (n_kb rounds up to a multiple of ndev) computes mostly
     dead lanes.  This planner minimizes modeled WALL-CLOCK of the
-    ndev-stripe pipeline instead: (n_jb + ndev - 1) pipeline steps, each
-    sweeping n_kb_padded / ndev local block columns -- so it shrinks wc
-    until the column count lands on (a multiple of) the stripe count and
-    shrinks hb to deepen the row pipeline, whenever that wins."""
+    ndev-stripe pipeline instead -- per-step compute AND the per-step
+    ICI face transfer, under whichever schedule (tight / overlapped,
+    see the module docstring) is cheaper for the shape -- so it shrinks
+    wc until the column count lands on (a multiple of) the stripe count
+    and shrinks hb to deepen the row pipeline, but only while the face
+    transfer stays hidden."""
     best = None
     lab = BK._round_up(max(la, 16), 16)
     EFF = {128: 2.00, 256: 1.08, 384: 1.00, 512: 1.00}
@@ -70,8 +85,19 @@ def choose_halo_shape(la: int, lb: int, lc: int, ndev: int,
                         + 2 * 8 * unb * (2 * wc + 2 * hbp + hb)) * 4
                 if vmem > vmem_budget:
                     continue
-                wall = ((n_jb + ndev - 1) * (n_kb // ndev) * qqb
-                        * (hb * wc * EFF[wc] + fixed))
+                sr2 = qqb + 2 * unb + 2
+                # Per-step compute (slot-equivalents) and transfer,
+                # expressed in the same slot units via the measured
+                # rates, so wall stays a pure comparison key.
+                comp = (n_kb // ndev) * qqb * (hb * wc * EFF[wc] + fixed)
+                xfer = (8 * sr2 * hbp * 4 / _ICI_BYTES_PER_S) * _SLOTS_PER_S
+                if ndev == 1:
+                    wall = n_jb * comp
+                else:
+                    wall = min(
+                        (n_jb + ndev - 1) * (comp + xfer),          # tight
+                        (n_jb + 2 * ndev - 2) * max(comp, xfer),    # overlap
+                    )
                 if best is None or wall < best[0]:
                     best = (wall, hb, wc, unb)
     if best is None:
@@ -79,15 +105,32 @@ def choose_halo_shape(la: int, lb: int, lc: int, ndev: int,
     return (best[1], best[2], best[3])
 
 
+# Modeled per-step ICI transfer and compute rates for the overlap-vs-
+# tight decision (v5e: ~45 GB/s/link usable ICI; the blocked kernel
+# sustains ~20G plane-cell-slots/s -- CLAUDE.md hardware facts).
+_ICI_BYTES_PER_S = 45e9
+_SLOTS_PER_S = 20e9
+
+
 def halo_efficiency(la: int, lb: int, lc: int, ndev: int,
-                    block_shape: Optional[Tuple[int, int]] = None) -> dict:
+                    block_shape: Optional[Tuple[int, int]] = None,
+                    overlap: Optional[bool] = None) -> dict:
     """Efficiency model of a halo-sharded run, INCLUDING the k-padding loss
     from rounding the block-column count up to a multiple of the stripe
-    count and the partial fill of the last real row/column of blocks.
+    count, the partial fill of the last real row/column of blocks, AND
+    the per-step transfer term (hidden under compute in the overlapped
+    schedule, additive in the tight one).
 
-    Returns {'pipeline', 'j_fill', 'k_fill', 'total'}; 'total' is the
-    fraction of ndev-chip peak the partitioning can reach.  With no
+    Returns {'pipeline', 'j_fill', 'k_fill', 'transfer', 'overlap',
+    'total'}; 'total' is the fraction of ndev-chip peak the partitioning
+    can reach.  ``overlap`` None (default) models BOTH schedules and
+    returns the better one -- the same choice align_sharded_triplet
+    makes at runtime; pass True/False to pin a schedule.  With no
     explicit block_shape the mesh-aware planner's choice is modeled."""
+    if overlap is None:
+        cands = [halo_efficiency(la, lb, lc, ndev, block_shape, ov)
+                 for ov in (True, False)]
+        return max(cands, key=lambda e: e["total"])
     if block_shape:
         hb, wc = block_shape[0], block_shape[1]
         unb = block_shape[2] if len(block_shape) > 2 else BK.DEF_UNB
@@ -97,11 +140,25 @@ def halo_efficiency(la: int, lb: int, lc: int, ndev: int,
     n_jb = max(1, -(-lb // tb))
     n_kb_real = max(1, -(-lc // tc))
     n_kb_padded = -(-n_kb_real // ndev) * ndev
-    pipe = scaling_efficiency(n_jb, ndev)
+    pipe = scaling_efficiency(n_jb, ndev, overlap=overlap)
     j_fill = lb / (n_jb * tb)
     k_fill = lc / (n_kb_padded * tc)
+    # One pipeline step sweeps n_kb_padded/ndev local block columns of
+    # qqb planes each and moves one column-face slab across ICI.
+    lab = BK._round_up(max(la, 16), 16)
+    qqb = BK._round_up(lab + tb + tc, unb)
+    sr2 = qqb + 2 * unb + 2
+    step_compute_s = (n_kb_padded // ndev) * qqb * hb * wc / _SLOTS_PER_S
+    step_transfer_s = 8 * sr2 * BK._round_up(hb, 128) * 4 / _ICI_BYTES_PER_S
+    if ndev == 1:
+        transfer = 1.0
+    elif overlap:
+        transfer = step_compute_s / max(step_compute_s, step_transfer_s)
+    else:
+        transfer = step_compute_s / (step_compute_s + step_transfer_s)
     return {"pipeline": pipe, "j_fill": j_fill, "k_fill": k_fill,
-            "total": pipe * j_fill * k_fill}
+            "transfer": transfer, "overlap": overlap,
+            "total": pipe * j_fill * k_fill * transfer}
 
 
 def _plan(la, lb, lc, ndev, hb, wc, unb):
@@ -115,9 +172,11 @@ def _plan(la, lb, lc, ndev, hb, wc, unb):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dims", "n_kb_local", "ndev", "scoring", "interpret", "mesh"),
+    static_argnames=("dims", "n_kb_local", "ndev", "scoring", "interpret",
+                     "mesh", "overlap"),
 )
-def _halo_core(lens, a_ext, b_arr, c_arr, dims, n_kb_local, ndev, scoring, interpret, mesh):
+def _halo_core(lens, a_ext, b_arr, c_arr, dims, n_kb_local, ndev, scoring,
+               interpret, mesh, overlap=True):
     hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims
     tb, tc = hb - 1, wc - 1
     la, lb, lc = lens[0], lens[1], lens[2]
@@ -172,6 +231,38 @@ def _halo_core(lens, a_ext, b_arr, c_arr, dims, n_kb_local, ndev, scoring, inter
             )
             return srf, cf, res
 
+        perm = [(i, i + 1) for i in range(ndev - 1)]
+
+        if overlap:
+            # One-step-lookahead schedule: device d sweeps row jb = t - 2d
+            # while the ppermute moves the face its left neighbor produced
+            # at step t-1 -- the permute input (cf_sent, last step's
+            # output) and this step's row_sweep are dataflow-independent,
+            # so the ICI transfer hides under the compute (XLA async
+            # collective-permute).  cf_ready at step t is therefore the
+            # face the left stripe produced at step t-2: it produced row
+            # jb's face at step jb + 2(d-1), which lands here exactly at
+            # step jb + 2d.
+            def step(carry, t):
+                srf, cf_ready, cf_sent, res = carry
+                cf_incoming = jax.lax.ppermute(cf_sent, "model", perm)
+                jb = t - 2 * d
+                valid = (jb >= 0) & (jb < n_jb)
+                srf, cf_out, res = jax.lax.cond(
+                    valid,
+                    lambda args: row_sweep(jnp.maximum(jb, 0), *args),
+                    lambda args: args,
+                    (srf, cf_ready, res),
+                )
+                return (srf, cf_incoming, cf_out, res), None
+
+            nsteps = n_jb + 2 * (ndev - 1)
+            (_, _, _, res), _ = jax.lax.scan(
+                step, (srf0, cf0, cf0, res0),
+                jnp.arange(nsteps, dtype=jnp.int32),
+            )
+            return jax.lax.psum(res, "model")
+
         def step(carry, t):
             srf, cf_recv, res = carry
             jb = t - d
@@ -183,9 +274,7 @@ def _halo_core(lens, a_ext, b_arr, c_arr, dims, n_kb_local, ndev, scoring, inter
                 (srf, cf_recv, res),
             )
             # Hand this row's right-boundary column face to the next stripe.
-            cf_next = jax.lax.ppermute(
-                cf, "model", [(i, i + 1) for i in range(ndev - 1)]
-            )
+            cf_next = jax.lax.ppermute(cf, "model", perm)
             return (srf, cf_next, res), None
 
         nsteps = n_jb + ndev - 1
@@ -212,9 +301,15 @@ def align_sharded_triplet(
     mesh: Optional[Mesh] = None,
     interpret: Optional[bool] = None,
     block_shape: Optional[Tuple[int, int]] = None,
+    overlap: Optional[bool] = None,
 ) -> int:
     """Optimal score of one long triplet partitioned across the mesh's
-    'model' axis with ICI halo exchange of block boundary faces."""
+    'model' axis with ICI halo exchange of block boundary faces.
+
+    ``overlap`` True selects the one-step-lookahead schedule that hides
+    the face transfer under block compute; False the tight schedule
+    (one fewer ramp step per device, transfer on the critical path);
+    None (default) lets the efficiency model choose per problem."""
     a = np.asarray(a)
     b = np.asarray(b)
     c = np.asarray(c)
@@ -233,6 +328,10 @@ def align_sharded_triplet(
         unb = block_shape[2] if len(block_shape) > 2 else BK.DEF_UNB
     else:
         hb, wc, unb = choose_halo_shape(la, lb, lc, ndev)
+    if overlap is None:
+        overlap = bool(halo_efficiency(
+            la, lb, lc, ndev, block_shape=(hb, wc, unb)
+        )["overlap"])
     dims, n_kb_local = _plan(la, lb, lc, ndev, hb, wc, unb)
     _, _, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims
 
@@ -255,5 +354,6 @@ def align_sharded_triplet(
         scoring,
         interpret,
         mesh,
+        overlap,
     )
     return int(jax.device_get(res)[:NUM_MATRICES, 0].max())

