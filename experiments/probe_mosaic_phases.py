@@ -86,13 +86,21 @@ for di, disp in enumerate(dispatches):
     t1b = time.perf_counter()
     jax.device_get(_prep_only(args_dev[0] + 0, *args_dev[1:], dims))
     t1c = time.perf_counter()
-    caps = M._mosaic_core(
-        args_dev[0], args_dev[1], args_dev[2], args_dev[3],
-        jnp.asarray(qcap), jnp.asarray(edge),
-        args_dev[4], jnp.int32(d),
-        jnp.int32(max(len(t.problems) for t in disp)), dims, scoring, False)
-    jax.device_get(caps[0, 0, 0])
-    t2 = time.perf_counter()
+    # min over repeats (round-4: disp 0 measured 918 ms one-shot where
+    # ~70 ms is modeled -- distinguish a tunnel stall from a real cost).
+    t2 = t1c
+    best_run = float("inf")
+    for rep in range(3):
+        r0 = time.perf_counter()
+        caps = M._mosaic_core(
+            args_dev[0] + jnp.int32(rep), args_dev[1], args_dev[2],
+            args_dev[3], jnp.asarray(qcap), jnp.asarray(edge),
+            args_dev[4], jnp.int32(d),
+            jnp.int32(max(len(t.problems) for t in disp)), dims, scoring,
+            False)
+        jax.device_get(caps[0, 0, 0])
+        best_run = min(best_run, time.perf_counter() - r0)
+    t2 = t1c + best_run
     npk = max(len(t.problems) for t in disp)
     nprob = sum(len(t.problems) for t in disp)
     slots = (npk*d + M.HB + M.WC) * M.HB * M.WC

@@ -20,10 +20,10 @@ def __getattr__(name):
         from trialign import api
 
         return getattr(api, name)
-    if name == "align_resilient":
-        from trialign.resilience import align_resilient
+    if name in ("align_resilient", "align_batch_resilient"):
+        from trialign import resilience
 
-        return align_resilient
+        return getattr(resilience, name)
     if name in ("align_batch_bucketed", "align_batch_sharded"):
         from trialign.dist import batch
 

@@ -23,6 +23,7 @@ triplet at a time, src/TriAlign_tb.sv:313-333).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import List, Optional, Sequence, Tuple
 
@@ -513,6 +514,7 @@ def align_batch_mosaic(
     scoring: Scoring = Scoring(),
     mesh=None,
     residue_route: str = "auto",
+    on_scores=None,
 ) -> List[int]:
     """Batch scoring through mosaic tiling: ONE kernel compile, a few
     large dispatches, scores in input order.
@@ -526,7 +528,14 @@ def align_batch_mosaic(
     ``mesh``: a jax.sharding.Mesh with a 'data' axis spreads the canvas
     dispatches AND the tall/residue chain and blocked fleets across its
     devices (see _sharded_canvas_fn / _sharded_chain_fn /
-    _sharded_blocked_fn)."""
+    _sharded_blocked_fn).
+
+    ``on_scores``: optional callable(orig_index, score) fired as each
+    independent work unit (canvas dispatch, tall/residue chain, blocked
+    residue) drains -- the progress feed resilience.align_batch_resilient
+    uses to re-dispatch ONLY the units a failure killed (SURVEY section 5
+    elastic-recovery row; the reference has none, its FSM parks forever,
+    reference: src/TriAlign_1cyc.v:225-348)."""
     if scoring.submatrix is not None:
         raise ValueError("submatrix scoring is not wired into the hetero "
                          "band-select ring: use api.align_batch (it routes "
@@ -538,6 +547,8 @@ def align_batch_mosaic(
     tall = []
     for i, t in enumerate(triplets):
         if min(map(len, t)) == 0:
+            if on_scores is not None:
+                on_scores(i, 0)
             continue
         rt = _rotate(t, sop)
         if len(rt[1]) + 2 > HB or len(rt[2]) + 2 > WC:
@@ -687,12 +698,17 @@ def align_batch_mosaic(
                                         plan_lens=caps))
             )
 
+    def emit(i, score):
+        out[i] = score
+        if on_scores is not None:
+            on_scores(i, score)
+
     def drain_all():
         for chain, scores_dev in tall_pending:
             for (i, _), sc_ in zip(chain, jax.device_get(scores_dev)):
-                out[i] = int(sc_)
+                emit(i, int(sc_))
         for i, sc_dev in blocked_pending:
-            out[i] = int(jax.device_get(sc_dev))
+            emit(i, int(jax.device_get(sc_dev)))
 
     if not items:
         queue_blocked()
@@ -745,7 +761,7 @@ def align_batch_mosaic(
                 continue  # padding copy of dispatch 0
             (_, _, _, _, _, _, _, cells, flat), _, _ = preps[pi]
             for (blk, j, kk), oi in zip(cells, flat):
-                out[oi] = int(caps_host[row, blk, j, kk])
+                emit(oi, int(caps_host[row, blk, j, kk]))
         return out
 
     pending = []
@@ -764,5 +780,5 @@ def align_batch_mosaic(
     drain_all()
     for flat, scores_dev in pending:
         for oi, s in zip(flat, jax.device_get(scores_dev)):
-            out[oi] = int(s)
+            emit(oi, int(s))
     return out

@@ -90,3 +90,65 @@ def progress(runner: CheckpointedAligner) -> Tuple[int, int]:
     """(completed blocks, total blocks) -- the failure-detection heartbeat
     a pool supervisor polls."""
     return runner.next_idx, runner.n_blocks
+
+
+def align_batch_resilient(
+    triplets,
+    scoring: Scoring = Scoring(),
+    mesh=None,
+    max_retries: int = 3,
+    backoff_s: float = 1.0,
+    batch_fn=None,
+    **kw,
+):
+    """Fleet-path elastic recovery: batch scoring that survives a killed
+    dispatch mid-batch by re-dispatching ONLY the problems whose work
+    unit had not drained (round-3 VERDICT item 5).
+
+    The mosaic batch decomposes into independent work units -- canvas
+    dispatches, tall/residue hetero chains, blocked residues -- whose
+    scores drain unit by unit through align_batch_mosaic's ``on_scores``
+    feed.  A preemption therefore loses only the units still in flight:
+    each retry re-packs the UNSCORED problems alone (packing is a pure
+    host function of the subset), so completed chunks are never rerun.
+    `batch_fn` swaps the underlying batch executor (tests; defaults to
+    align_batch_mosaic)."""
+    from trialign.kernels.mosaic import align_batch_mosaic
+
+    fn = batch_fn or align_batch_mosaic
+    n = len(triplets)
+    out = [None] * n
+    attempts = 0
+    last_exc: Optional[BaseException] = None
+    while attempts <= max_retries:
+        remaining = [i for i in range(n) if out[i] is None]
+        if not remaining:
+            break
+        sub = [triplets[i] for i in remaining]
+
+        def record(local_i, score, _remaining=remaining):
+            out[_remaining[local_i]] = int(score)
+
+        try:
+            scores = fn(sub, scoring, mesh=mesh,
+                        on_scores=record, **kw)
+            for li, i in enumerate(remaining):
+                out[i] = int(scores[li])
+            break
+        except (KeyboardInterrupt, SystemExit, GeneratorExit):
+            raise
+        except Exception as e:  # noqa: BLE001 - device loss is broad
+            attempts += 1
+            last_exc = e
+            done = n - sum(1 for v in out if v is None)
+            log.warning(
+                "batch attempt %d failed with %d/%d problems scored: %s -- "
+                "re-dispatching only the remainder",
+                attempts, done, n, e,
+            )
+            time.sleep(backoff_s * attempts)
+    if any(v is None for v in out):
+        raise AlignmentFailed(
+            f"batch failed after {max_retries} recoveries"
+        ) from last_exc
+    return out
