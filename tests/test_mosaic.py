@@ -259,3 +259,52 @@ def test_api_align_batch_long_a_skips_mosaic(rng, small_canvas, monkeypatch):
     assert calls["padded"] == 64 and calls["mosaic"] == 0
     want = [align_planes_numpy(*t) for t in trips[:2]]
     assert [r.score for r in res[:2]] == want
+
+
+def test_production_geometry_invariants():
+    """Tripwire for the SHIPPED canvas constants (round-3 VERDICT item 8):
+    hardware legality (HBM DMA slices are wc wide -> wc must be a
+    multiple of 128; bands DMA at 8-row sublane granularity), the VMEM
+    spill-cliff budget, and a pinned snapshot so any regression of
+    HB/WC/BANDS/TALL_SHAPES is a deliberate, reviewed change."""
+    import trialign.kernels.mosaic as M
+
+    g = M.current_geometry()
+    # Hardware legality.
+    assert g.wc % 128 == 0, "canvas askew slab slice must be 128-aligned"
+    assert sum(g.bands) == g.hb, (g.bands, g.hb)
+    assert all(b % 8 == 0 for b in g.bands), g.bands
+    for t_hb, t_wc, t_unb in g.tall_shapes:
+        assert t_wc % 128 == 0, \
+            f"tall class ({t_hb},{t_wc}) askew slice must be 128-aligned"
+        assert t_hb % 8 == 0, (t_hb, t_wc)
+    # VMEM model: resident planes x plane bytes under the measured ~55 MB
+    # spill cliff (CLAUDE.md hardware facts; 2*unb Mosaic stack planes +
+    # 17 sweep-state planes + the band ring + margin).
+    def vmem_bytes(hb, wc, unb, nbr):
+        return (2 * unb + 17 + 2 * nbr + 5) * hb * wc * 4
+    assert vmem_bytes(g.hb, g.wc, g.unb, 9) < 55 * 2**20  # canvas, NB=6
+    for t_hb, t_wc, t_unb in g.tall_shapes:
+        assert vmem_bytes(t_hb, t_wc, t_unb, 7) < 55 * 2**20  # NB=4
+    # Pinned snapshot -- update deliberately alongside a measured probe.
+    assert (g.hb, g.wc) == (328, 512)
+    assert g.bands == (136, 128, 64)
+    assert g.tall_shapes == M.TALL_SHAPES
+
+
+def test_geometry_parameter_coexists_with_default(rng):
+    """The geom= parameter must drive the whole pack/plan/prep/batch stack
+    without touching module state: a shrunk-geometry batch and default
+    planning calls interleave safely."""
+    import trialign.kernels.mosaic as M
+    from trialign.golden import align_planes_numpy
+
+    small = M.CanvasGeometry(hb=48, wc=128, bands=(24, 24), nt_max=6,
+                             p_cap=4, unb=8, ch_p_cap=4,
+                             tall_shapes=((80, 128, 8),))
+    trips = [_rt(rng, 12, 10, 24) for _ in range(4)]
+    want = [align_planes_numpy(*t) for t in trips]
+    got = M.align_batch_mosaic(trips, geom=small)
+    assert got == want
+    # Module defaults untouched: production geometry still current.
+    assert M.current_geometry().hb == M.HB == 328

@@ -122,11 +122,16 @@ def test_chain_hetero_compiled_parity(rng):
 @pytest.mark.tpu
 @tpu_only
 def test_mosaic_compiled_parity(rng):
-    """Mosaic tiling (production canvas) on hardware."""
+    """Mosaic tiling (production canvas geometry, incl. multi-band tiles
+    AND a tall-class problem) on hardware -- covers the shipped
+    HB/WC/BANDS/TALL_SHAPES constants end to end, not a shrunk twin
+    (round-3 VERDICT item 8)."""
     from trialign.kernels.mosaic import align_batch_mosaic
 
     trips = [random_triplet(rng, 150, 130, 140), random_triplet(rng, 200, 90, 180),
-             random_triplet(rng, 120, 160, 100), random_triplet(rng, 180, 140, 150)]
+             random_triplet(rng, 120, 160, 100), random_triplet(rng, 180, 140, 150),
+             # mid length 360 > HB-2: routes through the tall classes
+             random_triplet(rng, 420, 360, 200)]
     want = [align_planes_numpy(*t) for t in trips]
     assert align_batch_mosaic(trips) == want
 

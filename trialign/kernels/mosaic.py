@@ -45,16 +45,21 @@ TALL_SHAPES = (
     (520, 256, 8),   # mid <= 519, min <= 254
 )
 
-# Universal canvas: 392 rows = 3 askew bands, 512 lanes.  Bigger
+# Universal canvas: 328 rows = 3 askew bands, 512 lanes.  Bigger
 # canvases blow the scoped-VMEM working set past what the chip runs at
 # full speed (~80 MB measured at (520,512) runs ~5x slow -- silent HBM
-# spill; ~58 MB here is safe).  Problems too tall for the canvas go
-# through a single (520, 384) hetero chain class instead.
+# spill).  Problems too tall for the canvas go through the tall hetero
+# chain classes instead.  UNB=16 (round-4 probe_canvas16: +16.8% over
+# unb=8 AND a 5x faster cold compile, 55.7 s vs 279.4 s; VMEM model
+# (2*16 + 17 + 2*9 + 5) = 72 resident planes x 168k x 4 B ~= 48 MB,
+# under the ~55 MB cliff).  The TALL classes stay unb=8: probe_tall5
+# measured 2cls@unb16 -2.3% and a 5-class split -7.9% at the batch
+# level -- both measured-negative, do not flip without new evidence.
 HB, WC = 328, 512
 BANDS = (136, 128, 64)
 NT_MAX = 16  # tiles per dispatch
 P_CAP = 32  # chain slots per tile
-UNB = 8
+UNB = 16
 
 _BOFF = tuple(int(np.sum(BANDS[:i])) for i in range(len(BANDS)))
 # Valid tile row-runs: contiguous band runs (start band, height, j0).
@@ -64,13 +69,59 @@ for _b0 in range(len(BANDS)):
         _RUNS.append((_b0, _b1, _BOFF[_b0], int(sum(BANDS[_b0:_b1 + 1]))))
 
 
+@dataclasses.dataclass(frozen=True)
+class CanvasGeometry:
+    """One mosaic canvas configuration, passed explicitly through the
+    packer/planner/prep/batch stack (round-3 VERDICT item 8: geometry is
+    a parameter, not mutable module state, so a shrunk test canvas and
+    the production canvas can coexist and the production constants stay
+    CI-testable).  The module-level UPPERCASE constants above define the
+    production instance (current_geometry()); test_canvas() builds a
+    small one."""
+
+    hb: int = HB
+    wc: int = WC
+    bands: Tuple[int, ...] = BANDS
+    nt_max: int = NT_MAX
+    p_cap: int = P_CAP
+    unb: int = UNB
+    ch_p_cap: int = CH_P_CAP
+    tall_shapes: Tuple = TALL_SHAPES
+
+    @property
+    def boff(self) -> Tuple[int, ...]:
+        return tuple(int(np.sum(self.bands[:i]))
+                     for i in range(len(self.bands)))
+
+    @property
+    def runs(self):
+        """Valid tile row-runs: contiguous band runs (b0, b1, j0, height)."""
+        boff = self.boff
+        out = []
+        for b0 in range(len(self.bands)):
+            for b1 in range(b0, len(self.bands)):
+                out.append((b0, b1, boff[b0],
+                            int(sum(self.bands[b0:b1 + 1]))))
+        return out
+
+
+def current_geometry() -> CanvasGeometry:
+    """The module-default geometry (production constants unless a
+    test_canvas() context is active)."""
+    return CanvasGeometry(hb=HB, wc=WC, bands=BANDS, nt_max=NT_MAX,
+                          p_cap=P_CAP, unb=UNB, ch_p_cap=CH_P_CAP,
+                          tall_shapes=TALL_SHAPES)
+
+
 def test_canvas(hb: int = 48, wc: int = 128, bands: Tuple = (24, 24),
                 p_cap: int = 4, nt_max: int = 6, ch_p_cap: int = 4,
                 tall: Tuple = ((80, 128, 8),)):
-    """Context manager: shrink the module canvas so interpret-mode tests
-    and multi-chip dryruns run in seconds (the tiling/band machinery is
-    identical to the production canvas); restores the real geometry on
-    exit."""
+    """Context manager: shrink the module-DEFAULT canvas so interpret-mode
+    tests and multi-chip dryruns run in seconds (the tiling/band
+    machinery is identical to the production canvas); restores the real
+    geometry on exit.  Prefer passing ``geom=CanvasGeometry(...)`` to
+    align_batch_mosaic directly -- this context exists for call sites
+    that cannot thread a parameter (CLI, dryrun)."""
     import contextlib
 
     @contextlib.contextmanager
@@ -95,12 +146,17 @@ def test_canvas(hb: int = 48, wc: int = 128, bands: Tuple = (24, 24),
     return _cm()
 
 
-def plan_mosaic(la_cap: int, npack_cap: int = P_CAP) -> Tuple:
+def plan_mosaic(la_cap: int, npack_cap: Optional[int] = None,
+                geom: Optional[CanvasGeometry] = None) -> Tuple:
     """15-tuple dims for the universal mosaic canvas (single block, no
     faces): chain.plan_hetero geometry extended with the askew band
     heights."""
-    dims = CH.plan_hetero(la_cap, HB - 1, WC - 1, npack_cap, HB, WC, UNB)
-    return dims + (BANDS,)
+    g = geom or current_geometry()
+    if npack_cap is None:
+        npack_cap = g.p_cap
+    dims = CH.plan_hetero(la_cap, g.hb - 1, g.wc - 1, npack_cap, g.hb,
+                          g.wc, g.unb)
+    return dims + (g.bands,)
 
 
 class Tile:
@@ -154,8 +210,9 @@ def _marginal_planes(disp, meta, la, has_slot):
     return np_new * d_new - meta[1] * meta[0]
 
 
-def pack_mosaic(problems, npack_cap: int = P_CAP):
-    """Cost-driven shelf packer: problems -> dispatches of <= NT_MAX tiles.
+def pack_mosaic(problems, npack_cap: Optional[int] = None,
+                geom: Optional[CanvasGeometry] = None):
+    """Cost-driven shelf packer: problems -> dispatches of <= nt_max tiles.
 
     ``problems`` = [(orig_idx, (a, b, c)), ...] already rotated.  Placed
     in ASCENDING |A| order; each problem goes where it adds the fewest
@@ -168,20 +225,24 @@ def pack_mosaic(problems, npack_cap: int = P_CAP):
     Problems arrive tallest-|B| first so big tiles shelve before small
     ones; tiles open on demand with the smallest band-run that fits,
     stacked k-shelf by k-shelf."""
+    g = geom or current_geometry()
+    if npack_cap is None:
+        npack_cap = g.p_cap
+    runs_sorted = sorted(g.runs, key=lambda r: (r[3], r[0]))
     order = sorted(problems, key=lambda it: (-len(it[1][1]), -len(it[1][2])))
     dispatches: List[List[Tile]] = []
     metas: List[List[int]] = []  # [d, npack_max] per dispatch
 
     def open_tile(disp, lb, lc):
         # smallest run covering lb+1 rows, preferring later (smaller) bands
-        for b0, b1, j0, h in sorted(_RUNS, key=lambda r: (r[3], r[0])):
+        for b0, b1, j0, h in runs_sorted:
             if h >= lb + 2:
                 run = (b0, b1, j0, h)
                 break
         else:
             return None
         b0, b1, j0, h = run
-        tw = min(lc + 2, WC)
+        tw = min(lc + 2, g.wc)
         # place at the first k where bands b0..b1 are all free for tw lanes
         taken = sorted(
             (t.k0, t.k0 + t.tw)
@@ -193,14 +254,14 @@ def pack_mosaic(problems, npack_cap: int = P_CAP):
             if k + tw <= lo:
                 break
             k = max(k, hi)
-        if k + tw > WC:
+        if k + tw > g.wc:
             return None
         tile = Tile(b0, b1, j0, h, k, tw)
         disp.append(tile)
         return tile
 
     def can_open_tile(disp, lb, lc):
-        if len(disp) >= NT_MAX:
+        if len(disp) >= g.nt_max:
             return False
         probe: List[Tile] = list(disp)
         t = open_tile(probe, lb, lc)
@@ -233,7 +294,7 @@ def pack_mosaic(problems, npack_cap: int = P_CAP):
                 dc = _marginal_planes(disp, metas[di], la, False)
                 if best is None or dc < best[0]:
                     best = (dc, di, None)
-        open_cost = DISPATCH_PENALTY_PLANES + (la + 1) + HB + WC
+        open_cost = DISPATCH_PENALTY_PLANES + (la + 1) + g.hb + g.wc
         if best is None or best[0] > open_cost:
             disp = []
             t = open_tile(disp, lb, lc)
@@ -255,24 +316,26 @@ def pack_mosaic(problems, npack_cap: int = P_CAP):
     return dispatches
 
 
-def prep_mosaic(disp: List[Tile], dims, d):
+def prep_mosaic(disp: List[Tile], dims, d,
+                geom: Optional[CanvasGeometry] = None):
     """Host arrays for one mosaic dispatch.
 
     Returns (a_cols, colmask, bpos, cpos, qcap, edge, layout, cells) where
-    a_cols is (NT_MAX, lab+2) per-tile A-chain vectors, colmask
-    (len(BANDS), NT_MAX, WC) band-ownership column masks, bpos/cpos the
+    a_cols is (nt_max, lab+2) per-tile A-chain vectors, colmask
+    (len(bands), nt_max, wc) band-ownership column masks, bpos/cpos the
     per-(slot, tile) B/C symbol rows positioned at the tile offsets, qcap
     and edge the capture/border planes, and cells[i] = (0, j, k) score
     locations aligned with the flattened problem list."""
+    g = geom or current_geometry()
     lab = dims[2]
     npack_cap = dims[12]
-    a_cols = np.full((NT_MAX, lab + 2), PAD_SYMBOL, np.int32)
-    colmask = np.zeros((len(BANDS), NT_MAX, WC), np.int32)
-    bpos = np.full((npack_cap, NT_MAX, HB), PAD_SYMBOL - 1, np.int32)
-    cpos = np.full((npack_cap, NT_MAX, WC), PAD_SYMBOL - 2, np.int32)
-    qcap = np.full((1, HB, WC), -7, np.int32)
-    edge = np.zeros((1, HB, WC), np.int32)
-    layout = np.zeros((NT_MAX, 4), np.int32)  # j0, th, k0, tw
+    a_cols = np.full((g.nt_max, lab + 2), PAD_SYMBOL, np.int32)
+    colmask = np.zeros((len(g.bands), g.nt_max, g.wc), np.int32)
+    bpos = np.full((npack_cap, g.nt_max, g.hb), PAD_SYMBOL - 1, np.int32)
+    cpos = np.full((npack_cap, g.nt_max, g.wc), PAD_SYMBOL - 2, np.int32)
+    qcap = np.full((1, g.hb, g.wc), -7, np.int32)
+    edge = np.zeros((1, g.hb, g.wc), np.int32)
+    layout = np.zeros((g.nt_max, 4), np.int32)  # j0, th, k0, tw
     cells = []
     flat = []
     for ti, tile in enumerate(disp):
@@ -468,8 +531,8 @@ def _sharded_canvas_fn(dims, scoring, interpret, mesh, nloc):
     ))
 
 
-def _route_residue(residue, force=None):
-    """Route the tall residue (problems fitting no TALL_SHAPES class):
+def _route_residue(residue, force=None, geom=None):
+    """Route the tall residue (problems fitting no tall class):
     returns (blocked_items, (dims, chains) | None).
 
     Near-cubic big problems either run as per-problem blocked sweeps (a
@@ -481,15 +544,16 @@ def _route_residue(residue, force=None):
     chained at the measured ~29.5 G lane-slots/s), blocked wins for
     singletons.  ``force`` ("blocked" | "chain") overrides the model --
     for A/B measurement and fleet-coverage tests."""
+    g = geom or current_geometry()
     if force == "blocked":
         return residue, None
     caps = tuple(max(len(rt[ax]) for _, rt in residue) for ax in range(3))
-    shape = CH.choose_chain_shape(caps[0], caps[1], caps[2], CH_P_CAP)
-    dims_r = CH.plan_hetero(caps[0], caps[1], caps[2], CH_P_CAP, *shape)
+    shape = CH.choose_chain_shape(caps[0], caps[1], caps[2], g.ch_p_cap)
+    dims_r = CH.plan_hetero(caps[0], caps[1], caps[2], g.ch_p_cap, *shape)
     hb_r, wc_r = dims_r[0], dims_r[1]
     njb_r, nkb_r, qqb_r = dims_r[3], dims_r[4], dims_r[5]
     nb_r = dims_r[13]
-    chains = CH.pack_chains(residue, max_p=CH_P_CAP)
+    chains = CH.pack_chains(residue, max_p=g.ch_p_cap)
     cost_chain = 0
     for chain in chains:
         la_max = max(len(rt[0]) for _, rt in chain)
@@ -515,6 +579,7 @@ def align_batch_mosaic(
     mesh=None,
     residue_route: str = "auto",
     on_scores=None,
+    geom: Optional[CanvasGeometry] = None,
 ) -> List[int]:
     """Batch scoring through mosaic tiling: ONE kernel compile, a few
     large dispatches, scores in input order.
@@ -540,6 +605,7 @@ def align_batch_mosaic(
         raise ValueError("submatrix scoring is not wired into the hetero "
                          "band-select ring: use api.align_batch (it routes "
                          "submatrix batches through the padded/bucketed path)")
+    g = geom or current_geometry()
     triplets = [tuple(np.asarray(s) for s in t) for t in triplets]
     sop = scoring.s3_mode == "sop"
     out = [0] * len(triplets)
@@ -551,7 +617,7 @@ def align_batch_mosaic(
                 on_scores(i, 0)
             continue
         rt = _rotate(t, sop)
-        if len(rt[1]) + 2 > HB or len(rt[2]) + 2 > WC:
+        if len(rt[1]) + 2 > g.hb or len(rt[2]) + 2 > g.wc:
             tall.append((i, rt))
             continue
         items.append((i, rt))
@@ -566,10 +632,10 @@ def align_batch_mosaic(
     blocked_residue = []  # modeled cheaper per-problem blocked than chained
     chain_groups = []  # [(dims, jobs)]: tall classes + dynamic residue class
     if tall:
-        by_class = {si: [] for si in range(len(TALL_SHAPES))}
+        by_class = {si: [] for si in range(len(g.tall_shapes))}
         residue = []
         for i, rt in tall:
-            cands = [si for si, (t_hb, t_wc, _) in enumerate(TALL_SHAPES)
+            cands = [si for si, (t_hb, t_wc, _) in enumerate(g.tall_shapes)
                      if len(rt[1]) < t_hb and len(rt[2]) < t_wc - 1]
             if cands:
                 # Cheapest fitting class: every sweep plane costs its
@@ -577,20 +643,21 @@ def align_batch_mosaic(
                 # sent (mid<456, min<255) problems through the 175k-cell
                 # class when the 133k-cell one fits: ~11% of tall cost).
                 si = min(cands,
-                         key=lambda s: TALL_SHAPES[s][0] * TALL_SHAPES[s][1])
+                         key=lambda s: (g.tall_shapes[s][0]
+                                        * g.tall_shapes[s][1]))
                 by_class[si].append((i, rt))
             else:
                 residue.append((i, rt))
         for si, chainable in by_class.items():
             if not chainable:
                 continue
-            t_hb, t_wc, t_unb = TALL_SHAPES[si]
+            t_hb, t_wc, t_unb = g.tall_shapes[si]
             la_cap_c = max(len(rt[0]) for _, rt in chainable)
             # la >= mid > canvas rows, so the pitch floor allows 4 bands.
-            dims_t = CH.plan_hetero(la_cap_c, t_hb - 1, t_wc - 2, CH_P_CAP,
+            dims_t = CH.plan_hetero(la_cap_c, t_hb - 1, t_wc - 2, g.ch_p_cap,
                                     t_hb, t_wc, t_unb, nb=4)
             jobs = []
-            for chain in CH.pack_chains(chainable, max_p=CH_P_CAP):
+            for chain in CH.pack_chains(chainable, max_p=g.ch_p_cap):
                 la_max = max(len(rt[0]) for _, rt in chain)
                 # nb=4 requires S // d <= 2, i.e. d >= S // 3 + 1
                 dd = max(CH.chain_pitch(la_max, t_hb, t_wc),
@@ -603,7 +670,7 @@ def align_batch_mosaic(
             chain_groups.append((dims_t, jobs))
         if residue:
             force = None if residue_route == "auto" else residue_route
-            blocked_residue, grp = _route_residue(residue, force)
+            blocked_residue, grp = _route_residue(residue, force, geom=g)
             if grp is not None:
                 dims_r, chains_r = grp
                 t_hb, t_wc = dims_r[0], dims_r[1]
@@ -720,15 +787,15 @@ def align_batch_mosaic(
     # compute but leaves per-skipped-macro loop overhead): the packer
     # places each problem where it adds the fewest modeled sweep planes
     # and charges a penalty for opening dispatches (pack_mosaic).
-    dispatches = pack_mosaic(items)
+    dispatches = pack_mosaic(items, geom=g)
     la_cap = max(len(rt[0]) for _, rt in items)
-    dims = plan_mosaic(la_cap)
+    dims = plan_mosaic(la_cap, geom=g)
     preps = []
     for disp in dispatches:
         d = CH.chain_pitch(max(len(rt[0]) for t in disp for _, rt in t.problems),
-                           HB, WC)
+                           g.hb, g.wc)
         preps.append(
-            (prep_mosaic(disp, dims, d), d,
+            (prep_mosaic(disp, dims, d, geom=g), d,
              max(len(t.problems) for t in disp))
         )
 
