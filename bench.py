@@ -355,6 +355,7 @@ class Runner:
         self.budget = float(os.environ.get("TRIALIGN_BENCH_BUDGET_S", "1100"))
         self.t0 = time.time()
         self.fields = {}
+        self._last_emitted = None
 
     def elapsed(self):
         return time.time() - self.t0
@@ -395,6 +396,15 @@ class Runner:
             result["roofline_fraction"] = round(
                 f["blocked_1024_gcups"] / f["roofline_gcups"], 3
             )
+        # Dedupe (round-3 ADVICE): the final safety emit after the stage
+        # loop re-prints the last stage's line verbatim but for elapsed_s,
+        # duplicating the tail the driver captures.  Skip when nothing
+        # measurable changed since the last emission.
+        key = json.dumps({k: v for k, v in result.items()
+                          if k != "elapsed_s"}, sort_keys=True)
+        if key == self._last_emitted:
+            return
+        self._last_emitted = key
         result["elapsed_s"] = round(self.elapsed(), 1)
         print(json.dumps(result), flush=True)
 

@@ -58,7 +58,13 @@ TALL_SHAPES = (
 HB, WC = 328, 512
 BANDS = (136, 128, 64)
 NT_MAX = 16  # tiles per dispatch
-P_CAP = 32  # chain slots per tile
+# 64 chain slots per tile (round-4): the uniform 128-512 workload's
+# canvas problems are too big to stack >2 tiles in 512 lanes, so deeper
+# tiles are the way to more problems per dispatch -- modeled -12% canvas
+# time at 64 together with the lb-bucketed/la-ordered packing (5
+# dispatches instead of 9 on the bench workload); 96 modeled NEGATIVE
+# (sweep length outgrows the amortization).
+P_CAP = 64  # chain slots per tile
 UNB = 16
 
 _BOFF = tuple(int(np.sum(BANDS[:i])) for i in range(len(BANDS)))
@@ -222,14 +228,21 @@ def pack_mosaic(problems, npack_cap: Optional[int] = None,
     DISPATCH_PENALTY_PLANES charged for opening a new dispatch.  This
     keeps pitches tight (uniform 128-512 batches waste ~20% of planes
     when every dispatch pays the batch-max pitch) AND dispatches few.
-    Problems arrive tallest-|B| first so big tiles shelve before small
-    ones; tiles open on demand with the smallest band-run that fits,
-    stacked k-shelf by k-shelf."""
+    Problems arrive in coarse tallest-|B| buckets (96 rows) with |A|
+    DESCENDING inside each bucket: the buckets keep big tiles shelving
+    before small ones, and the |A| ordering groups similar pitches into
+    the same dispatches (the sweep pays npack * d with d = max |A| + 1,
+    so mixed |A| wastes (d - la - 1) planes per slot -- pitch fill was
+    0.78 under pure tallest-first, 0.48 -> 0.47 overall modeled with the
+    buckets).  Tiles open on demand with the smallest band-run that
+    fits, stacked k-shelf by k-shelf."""
     g = geom or current_geometry()
     if npack_cap is None:
         npack_cap = g.p_cap
     runs_sorted = sorted(g.runs, key=lambda r: (r[3], r[0]))
-    order = sorted(problems, key=lambda it: (-len(it[1][1]), -len(it[1][2])))
+    order = sorted(problems, key=lambda it: (-(len(it[1][1]) // 96),
+                                             -len(it[1][0]),
+                                             -len(it[1][1])))
     dispatches: List[List[Tile]] = []
     metas: List[List[int]] = []  # [d, npack_max] per dispatch
 
