@@ -35,7 +35,12 @@ from trialign.config import PAD_SYMBOL, Scoring
 from trialign.kernels import blocked as BK
 from trialign.kernels import chain as CH
 
-CH_P_CAP = 32  # slots for the tall-problem hetero classes
+# 64 slots for the tall-problem hetero classes (round-4): with the sop
+# rotation HALF the mixed 128-512 batch routes tall (mid > 326), making
+# the tall classes ~60% of device time (probe_packab: canvas 0.846 s of
+# a 2.54 s batch); deeper chains halve the per-chain ramp + dispatch
+# count the same way canvas P_CAP=64 measured +7.5% end-to-end.
+CH_P_CAP = 64
 # Hetero class geometries for beyond-canvas problems.  Each stays under
 # the ~51 MB fast-VMEM working set (the chip silently spills past ~55 MB
 # at ~5x runtime cost); chains here have la >= mid-length > canvas rows,
@@ -217,7 +222,8 @@ def _marginal_planes(disp, meta, la, has_slot):
 
 
 def pack_mosaic(problems, npack_cap: Optional[int] = None,
-                geom: Optional[CanvasGeometry] = None):
+                geom: Optional[CanvasGeometry] = None,
+                order_key=None, tw_quant: Optional[Sequence[int]] = None):
     """Cost-driven shelf packer: problems -> dispatches of <= nt_max tiles.
 
     ``problems`` = [(orig_idx, (a, b, c)), ...] already rotated.  Placed
@@ -232,17 +238,29 @@ def pack_mosaic(problems, npack_cap: Optional[int] = None,
     DESCENDING inside each bucket: the buckets keep big tiles shelving
     before small ones, and the |A| ordering groups similar pitches into
     the same dispatches (the sweep pays npack * d with d = max |A| + 1,
-    so mixed |A| wastes (d - la - 1) planes per slot -- pitch fill was
-    0.78 under pure tallest-first, 0.48 -> 0.47 overall modeled with the
-    buckets).  Tiles open on demand with the smallest band-run that
-    fits, stacked k-shelf by k-shelf."""
+    so mixed |A| wastes (d - la - 1) planes per slot).  Under the
+    production sop rotation C is the SHORTEST sequence, so tiles are
+    naturally narrow and pair side-by-side without further help:
+    probe_packab (round 4, v5e) measured this order at 0.846 s summed
+    canvas device time / 5 dispatches on the 1024-triplet bench workload
+    vs 1.032 s / 6 for a widest-|C|-bucket + {wc/2, wc} width-quantized
+    variant -- the variant only helps rtl-rotated (wide-|C|) workloads,
+    which the bench does not exercise.  Tiles open on demand with the
+    smallest band-run that fits, stacked k-shelf by k-shelf.
+
+    ``order_key`` / ``tw_quant`` override the placement order and the
+    tile lane-width quantization grid (width snap-up) for A/B modeling
+    (experiments/model_fill2.py, probe_packab.py); production uses the
+    defaults above."""
     g = geom or current_geometry()
     if npack_cap is None:
         npack_cap = g.p_cap
     runs_sorted = sorted(g.runs, key=lambda r: (r[3], r[0]))
-    order = sorted(problems, key=lambda it: (-(len(it[1][1]) // 96),
-                                             -len(it[1][0]),
-                                             -len(it[1][1])))
+    if order_key is None:
+        order_key = lambda it: (-(len(it[1][1]) // 96),  # noqa: E731
+                                -len(it[1][0]),
+                                -len(it[1][1]))
+    order = sorted(problems, key=order_key)
     dispatches: List[List[Tile]] = []
     metas: List[List[int]] = []  # [d, npack_max] per dispatch
 
@@ -256,6 +274,10 @@ def pack_mosaic(problems, npack_cap: Optional[int] = None,
             return None
         b0, b1, j0, h = run
         tw = min(lc + 2, g.wc)
+        if tw_quant:  # empty sequence = no quantization (A/B hook)
+            # snap the tile width UP to the quantization grid so narrow
+            # problems leave aligned lane room for a side-by-side tile
+            tw = min((q for q in tw_quant if q >= tw), default=g.wc)
         # place at the first k where bands b0..b1 are all free for tw lanes
         taken = sorted(
             (t.k0, t.k0 + t.tw)
