@@ -331,12 +331,19 @@ TPU_STAGES = [
     ("chain_512", 400),
     ("hetero_512", 420),
     ("batch_mixed", 430),
-    ("traceback_2k", 500),
     ("single_512", 280),
     ("traceback_512", 300),
+    ("roofline", 120),
+    # traceback_2k sits AFTER the cheap breadth stages: its cold compile
+    # chain (top-split slab kernels + free_jk restart + direct halves)
+    # measured anywhere from 142 s to >519 s depending on the compile
+    # service's cache state, and a 2026-08-19 full-bench dry run showed
+    # it starving seven tail stages when cold.  traceback_1k (above)
+    # already proves the at-scale traceback; 2k gets whatever budget
+    # remains.
+    ("traceback_2k", 500),
     ("chain_1k", 420),
     ("blocked_2k", 330),
-    ("roofline", 120),
     ("parity_fixtures", 450),
     ("single_stream_255", 150),
 ]
@@ -491,7 +498,7 @@ def parent_main():
         # run it even if the probe (re)tries consumed the budget.
         r.fields["note"] = (
             "TPU tunnel unavailable at bench time; hardware-measured "
-            "numbers with provenance are in BENCH_NOTES_r03.md and "
+            "numbers with provenance are in BENCH_NOTES_r04.md and "
             "bench_err.log"
         )
         r.run_stage("cpu_smoke", 150, extra_env={"TRIALIGN_FORCE_CPU": "1"},
