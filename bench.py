@@ -549,6 +549,25 @@ def child_main(name):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # Persistent CLIENT-side compile cache: the axon compile
+        # service's server-side cache evicts within hours, and a fully
+        # cold bench burns its whole budget on 5 of 13 stages (measured
+        # 2026-08-19).  Cached executables verified to round-trip across
+        # processes on this backend (hit: 2.3 s vs 3.7 s tunnel compile
+        # for the probe kernel; large kernels skip the compile service
+        # entirely).  The cache key includes these config flags, so
+        # they must be set IDENTICALLY in every process that shares the
+        # directory (the pre-warm run and the driver's run both go
+        # through this code path).
+        cache_dir = os.path.join(HERE, ".jax_cache")
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     fn = STAGE_FNS[name]
     fields = fn()
     print("FIELDS " + json.dumps(fields), flush=True)
