@@ -207,6 +207,28 @@ def test_mosaic_packer_geometry(rng, small_canvas):
     assert sum(len(t.problems) for d_ in disps for t in d_) == 10
 
 
+def test_mosaic_packer_hooks(rng, small_canvas):
+    """The A/B hooks (order_key placement order, tw_quant width snap-up)
+    produce legal packings; tw_quant widens tiles to the grid so narrow
+    problems can pair side-by-side (experiments/model_fill2.py)."""
+    M = small_canvas
+    items = [(i, _rt(rng, 10, 14, 20 + (i % 3))) for i in range(8)]
+    # reversed order: smallest |B| first (opposite of the default)
+    disps = M.pack_mosaic(items, order_key=lambda it: len(it[1][1]))
+    assert sum(len(t.problems) for d_ in disps for t in d_) == 8
+    # width quantization: every tile's lane width lands on the grid
+    disps = M.pack_mosaic(items, tw_quant=(64, 128))
+    for disp in disps:
+        for t in disp:
+            assert t.tw in (64, 128), t.tw
+            assert t.k0 + t.tw <= M.WC
+    assert sum(len(t.problems) for d_ in disps for t in d_) == 8
+    # empty grid = no quantization (exact lc + 2 widths)
+    disps = M.pack_mosaic(items, tw_quant=())
+    widths = {t.tw for d_ in disps for t in d_}
+    assert all(w <= 24 for w in widths), widths
+
+
 def test_api_align_batch_routes_large_to_mosaic(rng, small_canvas, monkeypatch):
     """api.align_batch uses mosaic tiling from 64 triplets up (on TPU;
     forced here since interpret-mode mosaic is gated off)."""
