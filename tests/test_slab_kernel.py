@@ -126,3 +126,45 @@ def test_hirschberg_top_split_via_slab_kernels(rng, monkeypatch):
     score, rows = H.hirschberg_align(a, b, c, Scoring())
     assert score == align_planes_numpy(a, b, c, Scoring())
     assert rescore_alignment(rows) == score
+
+
+@pytest.mark.heavy
+def test_hirschberg_pin_splits_via_slab_kernels(rng, monkeypatch):
+    """Pin-mode (v0-seeded) splits run on the Pallas slab kernels too:
+    round-4 tb-trace caught the recursion's INTERIOR nodes falling back
+    to the slow XLA engine (~55 s per 2k-class pin node of a 4k^3
+    traceback).  Thresholds here force MULTIPLE levels of splitting, so
+    pin nodes (the right halves) hit split_point_blocked_async with a
+    one-hot origin vector; exact score + rescore parity proves the
+    pin-mode kernel borders/origin seeding."""
+    import trialign.traceback.hirschberg as H
+    from trialign.golden import align_planes_numpy
+    from trialign.golden.numpy_model import rescore_alignment
+
+    monkeypatch.setenv("TRIALIGN_SLAB_FORCE", "1")
+    monkeypatch.setattr(H, "BASE_CELLS", 1 << 9)
+    monkeypatch.setattr(H, "DIRECT_CELLS", 1 << 10)
+    monkeypatch.setattr(H, "_DIRECT_SAFE_CELLS", 1 << 10)
+    monkeypatch.setattr(
+        slab, "_plan",
+        lambda la, lb, lc, live, bs: slab.plan_dims(la, lb, lc, *BS),
+    )
+    calls = {"pin": 0}
+    orig_sp = slab.split_point_blocked_async
+
+    def spy(a, b, c, m, scoring=Scoring(), mode="free", end_v=None,
+            interpret=None, v0=None):
+        if mode == "pin":
+            calls["pin"] += 1
+            assert v0 is not None
+        return orig_sp(a, b, c, m, scoring, mode=mode, end_v=end_v,
+                       interpret=interpret, v0=v0)
+
+    monkeypatch.setattr(
+        "trialign.kernels.slab.split_point_blocked_async", spy
+    )
+    a, b, c = random_triplet(rng, 18, 26, 60)
+    score, rows = H.hirschberg_align(a, b, c, Scoring())
+    assert score == align_planes_numpy(a, b, c, Scoring())
+    assert rescore_alignment(rows) == score
+    assert calls["pin"] >= 1, "no pin-mode split exercised the kernels"

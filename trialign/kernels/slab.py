@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from trialign.config import NUM_MATRICES, Scoring
+from trialign.config import CONSUMES, NUM_MATRICES, Scoring
 from trialign.kernels.blocked import (
     DEF_UNB,
     _build_askew_blocked,
@@ -126,6 +126,7 @@ def _slab_sweep(
     w = scoring.weight_matrix()
     fwd = variant == "fwd"
     free = fwd and mode == "free"
+    pin = fwd and mode == "pin"
     groups = (
         transition_groups(w)
         if fwd
@@ -274,6 +275,21 @@ def _slab_sweep(
                     p1, p2, m7p3, subs, groups, jnp.maximum, roll1
                 )
                 valid = (jk <= q - 1) & edge
+                if pin:
+                    # Engine pin parity (engine.forward_sweep else
+                    # branch): face cells ARE computed -- matrix t is a
+                    # wall only where it would consume a symbol that
+                    # does not exist (i < ca, global j < cb, k < cc).
+                    # Rolled-in wrap garbage at jl==0 / kl==0 lands only
+                    # in matrices these masks NEG out (dj=1 targets need
+                    # gj >= 1, dk=1 targets gk >= 1).
+                    ii = q - jk
+                    gj = jb * tb + jl
+                    gk = kb * tc + kl
+                    valid_t = [
+                        (ii >= ca) & (gj >= cb) & (gk >= cc)
+                        for (ca, cb, cc) in CONSUMES
+                    ]
             else:
                 p1, p2m, p2xy, p2yz, p2xz, p3m = carry
                 # E_u = shift_u(plane q - delta_u, row u) + subs_u; the
@@ -299,6 +315,10 @@ def _slab_sweep(
                 cand = cands[t]
                 if free:
                     cand = jnp.where(valid, cand, zero)
+                elif pin:
+                    cand = jnp.where(
+                        valid_t[t], jnp.maximum(cand, NEGi), negp
+                    )
                 else:
                     # NEG walls drift by +-subs per step without the
                     # engine's clamp; clamp before masking for elementwise
@@ -309,10 +329,10 @@ def _slab_sweep(
                         colbuf[0:hb, 8 * u + t : 8 * u + t + 1], (hb, wc)
                     )
                     inst = kl == 0
-                    if not fwd:
-                        # Backward: global k=0 cells are real DP cells
-                        # (di=dk=0 states travel along faces); install
-                        # only interior-block halos.
+                    if not fwd or pin:
+                        # Backward and pin-forward: global k=0 cells are
+                        # real DP cells (di=dk=0 states travel along
+                        # faces); install only interior-block halos.
                         inst = inst & (kb > 0)
                     cand = jnp.where(inst, ccol, cand)
                 if NEED_ROW:
@@ -320,14 +340,16 @@ def _slab_sweep(
                         rowbuf[8 * u + t : 8 * u + t + 1, :], (hb, wc)
                     )
                     inst = jl == 0
-                    if not fwd:
+                    if not fwd or pin:
                         inst = inst & (jb > 0)
                     cand = jnp.where(inst, crow, cand)
-                if fwd and not free:
+                if fwd and not free and not pin:
                     # free_jk: global j=0 / k=0 faces are free (zero).
                     # With faces present the zero arrives via the halo
                     # install (the edge blocks' slabs are zero-filled);
-                    # single-block dimensions set it directly.
+                    # single-block dimensions set it directly.  Pin mode
+                    # needs no install at all: its face cells are real
+                    # DP values already masked per-matrix above.
                     if not NEED_ROW:
                         cand = jnp.where(jl == 0, zero, cand)
                     if not NEED_COL:
@@ -369,6 +391,22 @@ def _slab_sweep(
     if fwd:
         if free:
             pz = zero
+            init = ((pz,) * NUM_MATRICES, (pz,) * NUM_MATRICES, pz, pz)
+        elif pin:
+            # Pin-mode plane-0 init: the global origin (0, 0, 0) carries
+            # the start-state vector v0 (passed through the ev scalars,
+            # like the bwd variant's terminal vector); every other init
+            # cell is a NEG wall.  Only block (0, 0)'s (0, 0) cell is the
+            # true origin.
+            origin = (jl == 0) & (kl == 0) & (jb == 0) & (kb == 0)
+            pt = tuple(
+                jnp.where(origin, ev[t], negp) for t in range(NUM_MATRICES)
+            )
+            m7 = ev[0]
+            for t in range(1, NUM_MATRICES):
+                m7 = jnp.maximum(m7, ev[t])
+            m7p = jnp.where(origin, m7, negp)
+            init = (pt, pt, m7p, m7p)
         else:
             # free_jk plane-0 init: the only init cell a valid cell ever
             # reads is (0, 0) (plane 0's M predecessor of the first
@@ -377,7 +415,7 @@ def _slab_sweep(
             pz = jnp.where(
                 (jl == 0) & (kl == 0) & ((jb == 0) | (kb == 0)), 0, negp
             )
-        init = ((pz,) * NUM_MATRICES, (pz,) * NUM_MATRICES, pz, pz)
+            init = ((pz,) * NUM_MATRICES, (pz,) * NUM_MATRICES, pz, pz)
     else:
         # Plane 0 carries the terminal vector at the reversed origin of
         # block (0, 0); everything else is walled.
@@ -580,7 +618,9 @@ def _slab_core(lens, ev, a_ext, b_arr, c_arr, dims, scoring, variant, mode,
     n_blocks = n_jb * n_kb
     askew = _build_askew_blocked(a_ext, qqb, hb, wc, unb)
     zeros = jnp.zeros((hb, wc), jnp.int32)
-    fill = jnp.int32(0 if variant == "fwd" else NEG)
+    # Edge blocks read their j=0 / k=0 halos from these prefilled slabs:
+    # free faces are zero, pin-mode and backward faces are NEG walls.
+    fill = jnp.int32(0 if (variant == "fwd" and mode != "pin") else NEG)
     srf0 = jnp.full((n_kb, 8 * sr1, wc), fill, jnp.int32)
     cf0 = jnp.full((n_jb, 8 * sr2, _round_up(hb, 128)), fill, jnp.int32)
     scal = _scal_table(lens, ev, dims)
@@ -707,23 +747,32 @@ def split_point_blocked_async(
     mode: str = "free",
     end_v: Optional[np.ndarray] = None,
     interpret: Optional[bool] = None,
+    v0: Optional[np.ndarray] = None,
 ):
     """The Hirschberg split at i = m, entirely on device: dispatch the
     forward slab of (a[:m], b, c), the backward slab of (a[m:], b, c), and
     their elementwise sum's argmax; returns a zero-arg fetch producing
     (sstar, jstar, kstar, score) -- the optimal crossing of plane i = m
-    (traceback/hirschberg.py:_solve)."""
+    (traceback/hirschberg.py:_solve).
+
+    ``mode`` "free" / "free_jk" / "pin"; pin requires ``v0``, the
+    start-state vector seeding the origin (all faces NEG walls) -- the
+    recursion's interior nodes, which round-3's engine left on the slow
+    XLA path (measured ~55 s of a 4k^3 traceback's 56 s warm in the
+    2k-class pin nodes alone)."""
     a = np.asarray(a, dtype=np.int32)
     b = np.asarray(b, dtype=np.int32)
     c = np.asarray(c, dtype=np.int32)
     la, lb, lc = len(a), len(b), len(c)
     assert 1 <= m < la, (m, la)
+    assert (mode == "pin") == (v0 is not None), (mode, v0)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     fdims = _plan(m, lb, lc, _live_planes('fwd', scoring), None)
     flens, fa, fb, fc = prep_blocked(a[:m], b, c, fdims)
-    ev0 = np.zeros(NUM_MATRICES, np.int32)
+    ev0 = (np.asarray(v0, np.int32) if v0 is not None
+           else np.zeros(NUM_MATRICES, np.int32))
     _, fcap = _slab_core(
         jnp.asarray(flens), jnp.asarray(ev0), jnp.asarray(fa),
         jnp.asarray(fb), jnp.asarray(fc), fdims, scoring, "fwd", mode,

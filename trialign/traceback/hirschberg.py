@@ -16,6 +16,7 @@ small cuboid DP with an explicit argmax walk.
 from __future__ import annotations
 
 import os
+import sys
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -41,9 +42,14 @@ XLA_CELLS = 1 << 21
 # cell cap is paired with the byte-accurate _direct_fits gate below,
 # which models the engine's TOTAL device footprint against the chip's
 # reported budget and routes oversize problems to the Hirschberg split
-# proactively.  Override with TRIALIGN_DIRECT_CELLS.
+# proactively.  Override with TRIALIGN_DIRECT_CELLS.  Round 4 raised the
+# default 1100 Mi -> 1400 Mi: tb-trace caught a (1024, 1059, 1082) node
+# (1.18 G cells) paying a ~25 s split because it sat just over the old
+# cap while its byte footprint fit the chip fine -- _direct_fits is the
+# real gate, the cell cap only screens out problems whose footprint
+# could never fit.
 DIRECT_CELLS = int(os.environ.get("TRIALIGN_DIRECT_CELLS",
-                                  1100 * 2**20))
+                                  1400 * 2**20))
 
 # Below this many cells the packed-choice buffer is ~2.5 GB -- a failure
 # to allocate it is a real bug, not an HBM-capacity miss, so the OOM
@@ -250,6 +256,30 @@ def _solve(
     s0: Optional[int],
     end_state: Optional[int],
 ) -> Tuple[int, List[Column]]:
+    if os.environ.get("TRIALIGN_TB_TRACE") == "1":
+        # Per-node wall-clock attribution (set TRIALIGN_TB_TRACE=1):
+        # prints mode/shape/route and seconds on exit.  Observability
+        # for the recursion the reference lacks entirely (its traceback
+        # was stubbed out, /root/reference/src/PE_1cyc.v:12-14,30).
+        import time as _t
+
+        t0 = _t.perf_counter()
+        route = ["?"]
+        try:
+            return _solve_traced(a, b, c, scoring, mode, s0, end_state,
+                                 route)
+        finally:
+            print(
+                f"[tb-trace] ({len(a)},{len(b)},{len(c)}) mode={mode} "
+                f"route={route[0]} {_t.perf_counter() - t0:.2f}s",
+                file=sys.stderr, flush=True,
+            )
+    return _solve_traced(a, b, c, scoring, mode, s0, end_state, None)
+
+
+def _solve_traced(
+    a, b, c, scoring, mode, s0, end_state, route
+) -> Tuple[int, List[Column]]:
     la, lb, lc = len(a), len(b), len(c)
     cells = (la + 1) * (lb + 1) * (lc + 1)
 
@@ -262,6 +292,8 @@ def _solve(
         _, _, cuboid = forward_sweep(
             a, b, c, scoring, mode=mode, v0=v0, return_cuboid=True
         )
+        if route is not None:
+            route[0] = "walk"
         return _walk(cuboid, a, b, c, scoring, mode, end_state)
 
     if cells <= DIRECT_CELLS and _direct_fits(la, lb, lc):
@@ -278,6 +310,8 @@ def _solve(
             v0 = np.full(NUM_MATRICES, NEG, dtype=np.int32)
             v0[s0] = 0
         try:
+            if route is not None:
+                route[0] = "direct"
             return direct_traceback(a, b, c, scoring, mode, v0, end_state)
         except Exception as e:  # noqa: BLE001
             if cells <= _DIRECT_SAFE_CELLS or not _is_oom(e):
@@ -295,14 +329,18 @@ def _solve(
         end_v[:] = NEG
         end_v[end_state] = 0
     # Dispatch every sweep this node needs before fetching any result.
-    if v0 is None and _use_pallas_slab(la, lb, lc, scoring):
+    if _use_pallas_slab(la, lb, lc, scoring):
         # Blocked Pallas sweeps with the F + G argmax fused on device:
         # only the crossing's coordinates cross the host link (at 2k^3
-        # the two slabs are ~118 MB each -- a multi-second tunnel fetch).
+        # the two slabs are ~118 MB each -- a multi-second tunnel
+        # fetch).  Pin-mode nodes (v0 set) ride the same kernels with
+        # the origin seeded from v0: round 4's tb-trace showed the old
+        # XLA fallback spending ~55 s per 2k-class pin node of a 4k^3
+        # traceback.
         from trialign.kernels.slab import split_point_blocked_async
 
         sp_fetch = split_point_blocked_async(
-            a, b, c, m, scoring, mode=mode, end_v=end_v
+            a, b, c, m, scoring, mode=mode, end_v=end_v, v0=v0
         )
         h_fetch = (
             _fwd_slab_async(a[m:], b, c, scoring, "free_jk", None, None)
@@ -337,6 +375,8 @@ def _solve(
         if h_val > score:
             r_score, r_cols = _solve(a[m:], b, c, scoring, "free_jk", None, end_state)
             prefix = [(int(a[i]), -1, -1) for i in range(m)]
+            if route is not None:
+                route[0] = "restart-right"
             return r_score, prefix + r_cols
 
     # The two half problems are independent: solve them CONCURRENTLY so
@@ -358,6 +398,8 @@ def _solve(
         left_score, left_cols = fut_l.result()
         right_score, right_cols = fut_r.result()
     assert left_score + right_score == score, (left_score, right_score, score)
+    if route is not None:
+        route[0] = "split"
     return score, left_cols + right_cols
 
 
