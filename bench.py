@@ -276,6 +276,30 @@ def stage_traceback_2k():
     return {"traceback_2k_s": round(best, 3)}
 
 
+def stage_traceback_4k():
+    """Full alignment at 4k^3 -- 8x the reference's maximum size, with
+    the traceback it never had: Hirschberg splits on the pin-mode Pallas
+    slab kernels, leaves on the direct engine (15.1 s warm measured;
+    reference stub: src/PE_1cyc.v:12-14,30)."""
+    import time as _t
+
+    import numpy as np
+
+    from trialign.api import align
+    from trialign.golden.numpy_model import rescore_alignment
+
+    rng = np.random.default_rng(29)
+    a, b, c = (rng.integers(0, 4, 4096).astype(np.uint8) for _ in range(3))
+    res = align(a, b, c, return_alignment=True)  # compile + warm
+    assert rescore_alignment(res.alignment) == res.score
+    t0 = _t.perf_counter()
+    align(a, b, c, return_alignment=True)
+    dt = _t.perf_counter() - t0
+    log(f"4k^3 FULL alignment (score + traceback, warm): {dt:.2f} s "
+        "(rescore-validated)")
+    return {"traceback_4k_s": round(dt, 3)}
+
+
 def stage_roofline():
     from trialign import benchmarks as B
     from trialign.config import Scoring
@@ -313,6 +337,7 @@ STAGE_FNS = {
     "traceback_512": stage_traceback_512,
     "traceback_1k": stage_traceback_1k,
     "traceback_2k": stage_traceback_2k,
+    "traceback_4k": stage_traceback_4k,
     "roofline": stage_roofline,
     "single_stream_255": stage_single_stream_255,
 }
@@ -346,6 +371,10 @@ TPU_STAGES = [
     ("blocked_2k", 330),
     ("parity_fixtures", 450),
     ("single_stream_255", 150),
+    # 4k^3 traceback last: ~50 s warm via the disk compile cache, but a
+    # cold compile chain is ~25 min -- worth attempting only with the
+    # budget's tail (it times out harmlessly when cold).
+    ("traceback_4k", 300),
 ]
 
 
