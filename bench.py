@@ -292,12 +292,14 @@ def stage_traceback_4k():
     a, b, c = (rng.integers(0, 4, 4096).astype(np.uint8) for _ in range(3))
     res = align(a, b, c, return_alignment=True)  # compile + warm
     assert rescore_alignment(res.alignment) == res.score
-    t0 = _t.perf_counter()
-    align(a, b, c, return_alignment=True)
-    dt = _t.perf_counter() - t0
-    log(f"4k^3 FULL alignment (score + traceback, warm): {dt:.2f} s "
+    best = float("inf")
+    for _ in range(2):  # min-of-trials per the measurement discipline
+        t0 = _t.perf_counter()
+        align(a, b, c, return_alignment=True)
+        best = min(best, _t.perf_counter() - t0)
+    log(f"4k^3 FULL alignment (score + traceback, warm): {best:.2f} s "
         "(rescore-validated)")
-    return {"traceback_4k_s": round(dt, 3)}
+    return {"traceback_4k_s": round(best, 3)}
 
 
 def stage_roofline():

@@ -18,12 +18,6 @@ def small_canvas(monkeypatch):
     monkeypatch.setattr(M, "HB", 48)
     monkeypatch.setattr(M, "WC", 128)
     monkeypatch.setattr(M, "BANDS", (24, 24))
-    monkeypatch.setattr(M, "_BOFF", (0, 24))
-    runs = []
-    for b0 in range(2):
-        for b1 in range(b0, 2):
-            runs.append((b0, b1, (0, 24)[b0], 24 * (b1 - b0 + 1)))
-    monkeypatch.setattr(M, "_RUNS", runs)
     monkeypatch.setattr(M, "P_CAP", 4)
     monkeypatch.setattr(M, "NT_MAX", 6)
     monkeypatch.setattr(M, "CH_P_CAP", 4)

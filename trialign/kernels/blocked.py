@@ -73,13 +73,16 @@ def _live_planes_for(scoring):
     return 16 + 2 * len(scoring.submatrix) + 1
 
 
-def _vmem_limit_for(dims, live_planes=16):
+def _vmem_limit_for(dims, live_planes=16, stack_per_step=2.0):
     """vmem_limit_bytes for a geometry: None when the default 16 MB cap
     suffices (fast compiles), else the estimated requirement plus margin.
 
     ``live_planes``: resident (hb, wc) state planes -- 16 for the score
     sweep (7 p1 + 7 p2 + 2 max7 carries); the slab-capture kernels
-    (kernels/slab.py) carry more.
+    (kernels/slab.py) carry more.  ``stack_per_step``: Mosaic stack
+    temporaries per unrolled macro step -- ~2 measured for the score
+    sweep's step body; the slab-capture step (capture selects, per-matrix
+    masks, face stores) measures ~3.5 (kernels/slab.py passes it).
 
     Keep requests honest AND under physical VMEM: a limit beyond what the
     chip has makes Mosaic silently SPILL scratch to HBM (S(1) buffers),
@@ -96,8 +99,9 @@ def _vmem_limit_for(dims, live_planes=16):
                + 2 * (hb + len(dims[14]) * unb if len(dims) > 14 else hb + unb) * wc
                + 2 * 8 * unb * (2 * wc + 2 * hbp + hb)) * 4
     else:
-        est = ((live_planes + 2 * unb) * hb * wc + 2 * (hb + unb) * wc
-               + 2 * 8 * unb * (2 * wc + 2 * hbp + hb)) * 4
+        est = int(((live_planes + stack_per_step * unb) * hb * wc
+                   + 2 * (hb + unb) * wc
+                   + 2 * 8 * unb * (2 * wc + 2 * hbp + hb)) * 4)
     if est <= VMEM_DEFAULT_CAP - 2 * 2**20:
         return None
     return min(est + est // 5 + 4 * 2**20, 108 * 2**20)

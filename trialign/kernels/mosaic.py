@@ -72,12 +72,6 @@ NT_MAX = 16  # tiles per dispatch
 P_CAP = 64  # chain slots per tile
 UNB = 16
 
-_BOFF = tuple(int(np.sum(BANDS[:i])) for i in range(len(BANDS)))
-# Valid tile row-runs: contiguous band runs (start band, height, j0).
-_RUNS = []
-for _b0 in range(len(BANDS)):
-    for _b1 in range(_b0, len(BANDS)):
-        _RUNS.append((_b0, _b1, _BOFF[_b0], int(sum(BANDS[_b0:_b1 + 1]))))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -138,15 +132,10 @@ def test_canvas(hb: int = 48, wc: int = 128, bands: Tuple = (24, 24),
     @contextlib.contextmanager
     def _cm():
         g = globals()
-        saved = {k: g[k] for k in ("HB", "WC", "BANDS", "_BOFF", "_RUNS",
+        saved = {k: g[k] for k in ("HB", "WC", "BANDS",
                                    "P_CAP", "NT_MAX", "CH_P_CAP",
                                    "TALL_SHAPES")}
-        boff = tuple(int(np.sum(bands[:i])) for i in range(len(bands)))
-        runs = []
-        for b0 in range(len(bands)):
-            for b1 in range(b0, len(bands)):
-                runs.append((b0, b1, boff[b0], int(sum(bands[b0:b1 + 1]))))
-        g.update(HB=hb, WC=wc, BANDS=bands, _BOFF=boff, _RUNS=runs,
+        g.update(HB=hb, WC=wc, BANDS=bands,
                  P_CAP=p_cap, NT_MAX=nt_max, CH_P_CAP=ch_p_cap,
                  TALL_SHAPES=tall)
         try:
@@ -226,8 +215,8 @@ def pack_mosaic(problems, npack_cap: Optional[int] = None,
                 order_key=None, tw_quant: Optional[Sequence[int]] = None):
     """Cost-driven shelf packer: problems -> dispatches of <= nt_max tiles.
 
-    ``problems`` = [(orig_idx, (a, b, c)), ...] already rotated.  Placed
-    in ASCENDING |A| order; each problem goes where it adds the fewest
+    ``problems`` = [(orig_idx, (a, b, c)), ...] already rotated.  Each
+    problem goes where it adds the fewest
     modeled sweep planes (a dispatch costs npack * d planes with runtime
     pitch d = max |A| + 1, so a problem rides free in a dispatch whose
     pitch already covers it and whose fullest tile it avoids), with

@@ -457,6 +457,17 @@ def _live_planes(variant, scoring=Scoring()):
     return base
 
 
+def _slab_vmem_limit(dims, live):
+    """vmem_limit_bytes for the slab-capture kernels: the shared policy
+    (blocked._vmem_limit_for) with the slab step body's measured ~3.5
+    Mosaic stack temporaries per unrolled step (capture hitm selects,
+    per-matrix masks, face stores).  Measured 2026-08-19: the 8k^3
+    split's F sweep at (136, 384, unb=16) modeled ~12.4 MB at the score
+    sweep's 2/step but hit a 16.53 MB actual stack, overflowing the
+    default 16 MB cap at compile time."""
+    return _vmem_limit_for(dims, live, stack_per_step=3.5)
+
+
 def make_slab_grid_call(dims: Tuple, scoring: Scoring, variant: str,
                         mode: str, interpret: bool):
     """Fused grid pallas_call: whole block grid in one dispatch, face slabs
@@ -512,7 +523,7 @@ def make_slab_grid_call(dims: Tuple, scoring: Scoring, variant: str,
         scratch_shapes=_slab_scratch_shapes(hb, wc, unb),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=_vmem_limit_for(dims, _live_planes(variant, scoring)),
+            vmem_limit_bytes=_slab_vmem_limit(dims, _live_planes(variant, scoring)),
         ),
     )
 
@@ -569,7 +580,7 @@ def make_slab_block_call(dims: Tuple, scoring: Scoring, variant: str,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=_vmem_limit_for(dims, _live_planes(variant, scoring)),
+            vmem_limit_bytes=_slab_vmem_limit(dims, _live_planes(variant, scoring)),
         ),
     )
 

@@ -393,9 +393,10 @@ def _direct_traceback_reserved(a, b, c, scoring, mode, v0, end_state):
     import jax.numpy as jnp
 
     la, lb, lc = len(a), len(b), len(c)
-    hb, wc = _bucket(lb + 1), _bucket(lc + 1)
-    lap = _bucket(max(la, 1))
-    qq = lap + hb + wc
+    # direct_shapes is the single source of the engine's shapes: the
+    # byte gate (direct_memory_bytes) models exactly what runs here.
+    qq, hb, wc = direct_shapes(la, lb, lc)
+    lap = qq - hb - wc
 
     a_pad = np.full(lap + 1, -9, dtype=np.int32)
     a_pad[:la] = a

@@ -90,10 +90,12 @@ _OOM_MARKERS = (
     "ran out of memory",
     "Out of memory",
     "out of memory",
-    "OOM",
-    "exceeds the limit",
     "memory space hbm",
     "of memory in memory space",
+    # The allocator dialect "Allocation of <N> bytes exceeds the limit";
+    # keyed on the full phrase, not bare "exceeds the limit", which also
+    # appears in non-memory errors (shape/recursion limits).
+    "bytes exceeds the limit",
 )
 
 
@@ -106,13 +108,14 @@ def _is_oom(e: BaseException) -> bool:
 
     return re.search(r"Used [\d.]+[GMK]i?B? of [\d.]+[GMK]i?B? hbm", text) is not None
 
-# Above this many cells, freeish slab sweeps run on the blocked Pallas
-# slab kernels (kernels/slab.py: planes in VMEM, faces in HBM) instead of
-# the XLA twin engine, which is HBM-bound at well under 1 GCUPS.  Only the
-# splits ABOVE the direct-engine cap ever sweep at this size (2k^3+); pin
-# mode stays on the XLA engine (its subproblems sit below DIRECT_CELLS).
-# Override with TRIALIGN_SLAB_PALLAS_CELLS; TRIALIGN_SLAB_FORCE=1 routes
-# every eligible sweep (tests).
+# Above this many cells, slab sweeps run on the blocked Pallas slab
+# kernels (kernels/slab.py: planes in VMEM, faces in HBM) instead of the
+# XLA twin engine, which is HBM-bound at well under 1 GCUPS.  Only the
+# splits ABOVE the direct-engine cap ever sweep at this size (2k^3+).
+# Since round 4 this covers pin-mode nodes too (v0 seeds the kernel's
+# origin); they dominate 4k^3+ recursions.  Override with
+# TRIALIGN_SLAB_PALLAS_CELLS; TRIALIGN_SLAB_FORCE=1 routes every
+# eligible sweep (tests).
 SLAB_PALLAS_CELLS = int(
     os.environ.get("TRIALIGN_SLAB_PALLAS_CELLS", 256 * 2**20)
 )
