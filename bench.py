@@ -276,11 +276,9 @@ def stage_traceback_2k():
     return {"traceback_2k_s": round(best, 3)}
 
 
-def stage_traceback_4k():
-    """Full alignment at 4k^3 -- 8x the reference's maximum size, with
-    the traceback it never had: Hirschberg splits on the pin-mode Pallas
-    slab kernels, leaves on the direct engine (15.1 s warm measured;
-    reference stub: src/PE_1cyc.v:12-14,30)."""
+def _traceback_at(n, seed, key, trials=2):
+    """Shared body of the >=4k traceback stages: compile+warm once
+    (rescore-validated), then min-of-`trials` timed runs."""
     import time as _t
 
     import numpy as np
@@ -288,18 +286,34 @@ def stage_traceback_4k():
     from trialign.api import align
     from trialign.golden.numpy_model import rescore_alignment
 
-    rng = np.random.default_rng(29)
-    a, b, c = (rng.integers(0, 4, 4096).astype(np.uint8) for _ in range(3))
+    rng = np.random.default_rng(seed)
+    a, b, c = (rng.integers(0, 4, n).astype(np.uint8) for _ in range(3))
     res = align(a, b, c, return_alignment=True)  # compile + warm
     assert rescore_alignment(res.alignment) == res.score
     best = float("inf")
-    for _ in range(2):  # min-of-trials per the measurement discipline
+    for _ in range(trials):  # min-of-trials per the measurement discipline
         t0 = _t.perf_counter()
         align(a, b, c, return_alignment=True)
         best = min(best, _t.perf_counter() - t0)
-    log(f"4k^3 FULL alignment (score + traceback, warm): {best:.2f} s "
+    log(f"{n}^3 FULL alignment (score + traceback, warm): {best:.2f} s "
         "(rescore-validated)")
-    return {"traceback_4k_s": round(best, 3)}
+    return {key: round(best, 3)}
+
+
+def stage_traceback_4k():
+    """Full alignment at 4k^3 -- 8x the reference's maximum size, with
+    the traceback it never had: Hirschberg splits on the pin-mode Pallas
+    slab kernels, leaves on the direct engine (15.1 s warm measured;
+    reference stub: src/PE_1cyc.v:12-14,30)."""
+    return _traceback_at(4096, 29, "traceback_4k_s")
+
+
+def stage_traceback_8k():
+    """Full alignment at 8k^3 -- 16x the reference's maximum axis
+    (51.1 s warm measured in round 4).  One timed run after the warm
+    one: at ~51 s each, a second trial buys little and risks the stage
+    cap."""
+    return _traceback_at(8192, 31, "traceback_8k_s", trials=1)
 
 
 def stage_roofline():
@@ -340,43 +354,49 @@ STAGE_FNS = {
     "traceback_1k": stage_traceback_1k,
     "traceback_2k": stage_traceback_2k,
     "traceback_4k": stage_traceback_4k,
+    "traceback_8k": stage_traceback_8k,
     "roofline": stage_roofline,
     "single_stream_255": stage_single_stream_255,
 }
 
-# (name, worst-case-COLD seconds) in execution order, highest-value-first:
-# headline+parity, then the three 512^3 protocols (chained / distinct-
-# triplet / single), the mixed batch, traceback, then breadth.  The axon
-# compile service caches server-side, so a stage whose HLO was compiled
-# recently (e.g. by a pre-warm run) takes ~1/10 of the cold estimate --
-# gating is therefore OPTIMISTIC (a high-value stage is always attempted
-# while meaningful budget remains; a cold compile burning its timeout on
-# a high-value stage is a better spend than landing three tail stages).
+# (name, worst-case-COLD seconds, hard-cap seconds or None) in execution
+# order, highest-value-first: headline+parity, the flagship-scale
+# tracebacks, then the three 512^3 protocols (chained / distinct-triplet /
+# single), the mixed batch, then breadth.  The axon compile service caches
+# server-side, so a stage whose HLO was compiled recently (e.g. by a
+# pre-warm run) takes ~1/10 of the cold estimate -- gating is therefore
+# OPTIMISTIC (a high-value stage is always attempted while meaningful
+# budget remains; a cold compile burning its timeout on a high-value stage
+# is a better spend than landing three tail stages).
+#
+# traceback_4k/8k sit SECOND/THIRD (round-4 lesson: value-ordered-last,
+# the 4k stage ran with 143 s of budget left against a ~170 s+ cold
+# compile and timed out, so the flagship numbers never reached the driver
+# artifact).  Warm via the persistent .jax_cache they run in ~65 s / ~230 s
+# including the in-stage rescore validation; the hard caps bound the cold-
+# cache downside to ~880 s of the 1100 s budget, and a cold 4k failure
+# gates 8k off entirely (same compile chain, strictly bigger).
 TPU_STAGES = [
-    ("blocked_1k", 400),
-    ("traceback_1k", 350),   # round-4 deliverable: 204 s cold / 2.2 s warm
-    ("chain_512", 400),
-    ("hetero_512", 420),
-    ("batch_mixed", 430),
-    ("single_512", 280),
-    ("traceback_512", 300),
-    ("roofline", 120),
-    # traceback_2k sits AFTER the cheap breadth stages: its cold compile
-    # chain (top-split slab kernels + free_jk restart + direct halves)
-    # measured anywhere from 142 s to >519 s depending on the compile
-    # service's cache state, and a 2026-08-19 full-bench dry run showed
-    # it starving seven tail stages when cold.  traceback_1k (above)
-    # already proves the at-scale traceback; 2k gets whatever budget
-    # remains.
-    ("traceback_2k", 500),
-    ("chain_1k", 420),
-    ("blocked_2k", 330),
-    ("parity_fixtures", 450),
-    ("single_stream_255", 150),
-    # 4k^3 traceback last: ~50 s warm via the disk compile cache, but a
-    # cold compile chain is ~25 min -- worth attempting only with the
-    # budget's tail (it times out harmlessly when cold).
-    ("traceback_4k", 300),
+    ("blocked_1k", 400, None),
+    ("traceback_4k", 280, 420),
+    ("traceback_8k", 330, 460),  # gated: runs only if traceback_4k landed
+    ("traceback_1k", 350, None),  # 204 s cold / 2.2 s warm
+    ("batch_mixed", 430, None),
+    ("chain_512", 400, None),
+    ("hetero_512", 420, None),
+    ("single_512", 280, None),
+    ("traceback_512", 300, None),
+    ("roofline", 120, None),
+    # traceback_2k's cold compile chain (top-split slab kernels + free_jk
+    # restart + direct halves) measured anywhere from 142 s to >519 s
+    # depending on the compile service's cache state; with 4k/8k already
+    # attempted above it is breadth, not flagship, so it queues behind
+    # the cheap stages.
+    ("traceback_2k", 400, None),
+    ("chain_1k", 420, None),
+    ("blocked_2k", 330, None),
+    ("parity_fixtures", 450, None),
+    ("single_stream_255", 150, None),
 ]
 
 
@@ -446,12 +466,17 @@ class Runner:
         result["elapsed_s"] = round(self.elapsed(), 1)
         print(json.dumps(result), flush=True)
 
-    def _stage_timeout(self, est):
+    def _stage_timeout(self, est, cap=None):
         # Bounded by the global budget; generous enough for a cold compile
         # of this stage but not so large one stage eats every later one.
-        return max(60.0, min(self.remaining() - 15.0, max(1.5 * est, est + 180.0)))
+        # An explicit per-stage cap bounds stages whose cold compile can
+        # never finish in-budget anyway (traceback_4k/8k: ~25 min cold).
+        t = max(60.0, min(self.remaining() - 15.0, max(1.5 * est, est + 180.0)))
+        if cap is not None:
+            t = min(t, cap)
+        return t
 
-    def run_stage(self, name, est, extra_env=None, force=False):
+    def run_stage(self, name, est, extra_env=None, force=False, cap=None):
         # Optimistic gating: attempt any stage while meaningful budget
         # remains -- on a warm server-side compile cache stages finish in
         # ~1/10 the cold estimate, and stages are value-ordered so burning
@@ -460,7 +485,7 @@ class Runner:
             log(f"[{name}] SKIPPED ({self.remaining():.0f}s left "
                 f"of {self.budget:.0f})")
             return None
-        timeout = self._stage_timeout(est)
+        timeout = self._stage_timeout(est, cap)
         log(f"[{name}] start (elapsed {self.elapsed():.0f}s, "
             f"timeout {timeout:.0f}s)")
         env = dict(os.environ)
@@ -537,8 +562,13 @@ def parent_main():
         return
     r.fields["reference_asic_512_ms"] = 10.82
     r.fields["reference_software_512_gcups"] = 0.058
-    for name, est in TPU_STAGES:
-        r.run_stage(name, est)
+    for name, est, cap in TPU_STAGES:
+        if name == "traceback_8k" and "traceback_4k_s" not in r.fields:
+            # Same compile chain as 4k but strictly bigger: if 4k died
+            # (cold cache), 8k cannot land either -- don't burn its cap.
+            log("[traceback_8k] SKIPPED (traceback_4k did not land)")
+            continue
+        r.run_stage(name, est, cap=cap)
     r.emit()
     log(f"bench complete in {r.elapsed():.0f}s; "
         f"fields: {sorted(r.fields)}")
