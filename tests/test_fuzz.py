@@ -278,3 +278,26 @@ def test_submatrix_with_score_bits_composes(rng):
                              score_bits=bits) == want
     res = align(seq, seq, seq, sc, score_bits=8)  # auto-routing composes
     assert res.score == align_planes_numpy(seq, seq, seq, sc, score_bits=8)
+
+
+def test_fuzz_score_bits_chain_matches_golden(rng):
+    """RTL bit-parity mode on the A-axis chain path (round-4 VERDICT
+    weak 5): every slot of a chained sweep must wrap exactly like the
+    golden emulation, including a slot with real 6-bit overflow, so
+    throughput-mode RTL-parity studies are possible."""
+    from trialign.kernels.blocked import align_blocked_chain
+
+    a_list = [rng.integers(0, 4, 24).astype(np.uint8) for _ in range(3)]
+    a_list.append(np.full(24, 2, np.uint8))  # overflow-prone slot
+    b = np.full(40, 2, np.uint8)
+    c = np.concatenate([np.full(30, 2, np.uint8),
+                        rng.integers(0, 4, 10).astype(np.uint8)])
+    for bits in (6, 12):
+        want = [align_planes_numpy(a, b, c, score_bits=bits)
+                for a in a_list]
+        got = align_blocked_chain(a_list, b, c, block_shape=(24, 128),
+                                  score_bits=bits)
+        assert got == want, (bits, got, want)
+    # The 6-bit case must actually overflow somewhere in the chain.
+    clean = [align_planes_numpy(a, b, c) for a in a_list]
+    assert [align_planes_numpy(a, b, c, score_bits=6) for a in a_list] != clean

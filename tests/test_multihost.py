@@ -47,7 +47,7 @@ def test_two_process_dcn_batch():
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=240)
+            out, err = p.communicate(timeout=480)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -66,8 +66,17 @@ def test_two_process_dcn_batch():
         for _ in range(7)
     ]
     want = [align_planes_numpy(a, b, c) for a, b, c in trips]
+    # The worker's halo triplet continues the same rng stream.
+    ah, bh, ch = (
+        rng.integers(0, 4, size=d).astype(np.uint8) for d in (8, 30, 127 * 4)
+    )
+    want_halo = align_planes_numpy(ah, bh, ch)
     for pid, out in enumerate(outs):
         lines = [l for l in out.splitlines() if l.startswith("{")]
         assert lines, f"no JSON from worker {pid}: {out!r}"
         rec = json.loads(lines[-1])
         assert rec["scores"] == want, (pid, rec["scores"], want)
+        # Cross-process ppermute halo: both processes must report the
+        # oracle score for the model-axis-striped triplet.
+        assert rec["halo_score"] == want_halo, (pid, rec["halo_score"],
+                                                want_halo)

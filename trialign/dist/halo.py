@@ -54,7 +54,9 @@ def scaling_efficiency(n_jb: int, ndev: int, overlap: bool = False) -> float:
 
 
 def choose_halo_shape(la: int, lb: int, lc: int, ndev: int,
-                      vmem_budget: int = 13 * 2**20) -> Tuple[int, int, int]:
+                      vmem_budget: int = 13 * 2**20,
+                      live_planes: int = 16,
+                      stack_per_step: float = 2.0) -> Tuple[int, int, int]:
     """Mesh-aware (hb, wc, unb) for the halo mode (round-2 VERDICT item 6).
 
     choose_block_shape optimizes single-chip plane-work and knows nothing
@@ -66,7 +68,12 @@ def choose_halo_shape(la: int, lb: int, lc: int, ndev: int,
     see the module docstring) is cheaper for the shape -- so it shrinks
     wc until the column count lands on (a multiple of) the stripe count
     and shrinks hb to deepen the row pipeline, but only while the face
-    transfer stays hidden."""
+    transfer stays hidden.
+
+    ``live_planes``/``stack_per_step``: resident state planes and Mosaic
+    stack temporaries per unrolled step -- (16, 2.0) for the score sweep;
+    the slab-capture kernels of the sharded traceback carry more
+    (kernels/slab.py FWD/BWD_LIVE_PLANES, stack ~3.5)."""
     best = None
     lab = BK._round_up(max(la, 16), 16)
     EFF = {128: 2.00, 256: 1.08, 384: 1.00, 512: 1.00}
@@ -81,8 +88,9 @@ def choose_halo_shape(la: int, lb: int, lc: int, ndev: int,
                 n_jb = max(1, -(-lb // tb))
                 n_kb = -(-max(1, -(-lc // tc)) // ndev) * ndev
                 qqb = BK._round_up(lab + tb + tc, unb)
-                vmem = ((16 + 2 * unb) * hb * wc + 2 * (hb + unb) * wc
-                        + 2 * 8 * unb * (2 * wc + 2 * hbp + hb)) * 4
+                vmem = int(((live_planes + stack_per_step * unb) * hb * wc
+                            + 2 * (hb + unb) * wc
+                            + 2 * 8 * unb * (2 * wc + 2 * hbp + hb)) * 4)
                 if vmem > vmem_budget:
                     continue
                 sr2 = qqb + 2 * unb + 2
@@ -159,6 +167,27 @@ def halo_efficiency(la: int, lb: int, lc: int, ndev: int,
     return {"pipeline": pipe, "j_fill": j_fill, "k_fill": k_fill,
             "transfer": transfer, "overlap": overlap,
             "total": pipe * j_fill * k_fill * transfer}
+
+
+def as_global(mesh, *arrays):
+    """Replicated global jax.Arrays for shard_map inputs: required when the
+    mesh spans processes (multi-host DCN), where plain numpy operands are
+    not addressable by a cross-process computation.  Every process passes
+    identical host values -- the usual SPMD contract (same as
+    dist/batch.py align_batch_multihost's input lifting)."""
+    if jax.process_count() == 1:
+        return tuple(jnp.asarray(x) for x in arrays)
+    from jax.sharding import NamedSharding
+
+    out = []
+    for x in arrays:
+        x = np.asarray(x)
+        s = NamedSharding(mesh, P())
+        out.append(
+            jax.make_array_from_callback(x.shape, s,
+                                         lambda idx, x=x: x[idx])
+        )
+    return tuple(out)
 
 
 def _plan(la, lb, lc, ndev, hb, wc, unb):
@@ -302,14 +331,27 @@ def align_sharded_triplet(
     interpret: Optional[bool] = None,
     block_shape: Optional[Tuple[int, int]] = None,
     overlap: Optional[bool] = None,
-) -> int:
+    return_alignment: bool = False,
+):
     """Optimal score of one long triplet partitioned across the mesh's
     'model' axis with ICI halo exchange of block boundary faces.
 
     ``overlap`` True selects the one-step-lookahead schedule that hides
     the face transfer under block compute; False the tight schedule
     (one fewer ramp step per device, transfer on the critical path);
-    None (default) lets the efficiency model choose per problem."""
+    None (default) lets the efficiency model choose per problem.
+
+    ``return_alignment`` True additionally recovers one optimal alignment
+    via sharded Hirschberg splits (dist/halo_tb.py: the F/G slab sweeps
+    run on this same halo fleet) and returns (score, rows) instead of the
+    bare score -- the capability the reference stubbed out
+    (src/PE_1cyc.v:12-14,30), at beyond-one-chip scale."""
+    if return_alignment:
+        from trialign.dist.halo_tb import hirschberg_align_sharded
+
+        return hirschberg_align_sharded(
+            a, b, c, scoring, mesh=mesh, interpret=interpret
+        )
     a = np.asarray(a)
     b = np.asarray(b)
     c = np.asarray(c)
@@ -344,10 +386,7 @@ def align_sharded_triplet(
     lens = np.array([la, lb, lc], dtype=np.int32)
 
     res = _halo_core(
-        jnp.asarray(lens),
-        jnp.asarray(a_ext),
-        jnp.asarray(b_arr),
-        jnp.asarray(c_arr),
+        *as_global(mesh, lens, a_ext, b_arr, c_arr),
         dims,
         n_kb_local,
         ndev,

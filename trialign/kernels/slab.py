@@ -109,9 +109,14 @@ def _slab_sweep(
     step body and 7 capture planes in scratch, DMA'd to ``cap_out[blk]``
     when the block finishes.
 
-    ``scalars`` = (la, jb, kb, qstar, jlstar, klstar, ev[0..6]) traced
-    int32: la doubles as the capture plane index; ev is the backward
-    sweep's terminal state vector (engine.backward_slab end_v).
+    ``scalars`` = (la, jb, kb, qstar, jlstar, klstar, ev[0..6], srfs, cfs)
+    traced int32: la doubles as the capture plane index; ev is the backward
+    sweep's terminal state vector (engine.backward_slab end_v).  srfs/cfs
+    are the SLAB indices of this block's row/column face (globally kb/jb;
+    the halo-sharded mode passes device-local indices -- its srf slabs
+    cover only the stripe's block columns and its column face is a single
+    travelling slab, exactly like kernels/blocked.py's make_block_call
+    under dist/halo.py).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -138,6 +143,7 @@ def _slab_sweep(
     nmac = qqb // UNB
     la_s, jb, kb, qstar, jlstar, klstar = scalars[:6]
     ev = scalars[6:13]
+    srfs, cfs = scalars[13], scalars[14]
     NEGi = jnp.int32(NEG)
 
     jl = jax.lax.broadcasted_iota(jnp.int32, (hb, wc), 0)
@@ -161,25 +167,29 @@ def _slab_sweep(
     def rd_row_dma(it, slot):
         fr = 8 * (UNB * it + 1 + SOFF)
         return pltpu.make_async_copy(
-            srf_in.at[kb, pl.ds(fr, FROWS)], rb_r.at[slot], rd_sem.at[0, slot]
+            srf_in.at[srfs, pl.ds(fr, FROWS)], rb_r.at[slot],
+            rd_sem.at[0, slot]
         )
 
     def rd_col_dma(it, slot):
         fr = 8 * (UNB * it + 1 + SOFF)
         return pltpu.make_async_copy(
-            cf_in.at[jb, pl.ds(fr, FROWS)], rb_c.at[slot], rd_sem.at[1, slot]
+            cf_in.at[cfs, pl.ds(fr, FROWS)], rb_c.at[slot],
+            rd_sem.at[1, slot]
         )
 
     def wr_row_dma(it, slot):
         fr = 8 * jnp.maximum(UNB * it + 1 - tb + SOFF, 0)
         return pltpu.make_async_copy(
-            st_r.at[slot], srf_out.at[kb, pl.ds(fr, FROWS)], wr_sem.at[0, slot]
+            st_r.at[slot], srf_out.at[srfs, pl.ds(fr, FROWS)],
+            wr_sem.at[0, slot]
         )
 
     def wr_col_dma(it, slot):
         fr = 8 * jnp.maximum(UNB * it + 1 - tc + SOFF, 0)
         return pltpu.make_async_copy(
-            st_ct.at[slot], cf_out.at[jb, pl.ds(fr, FROWS)], wr_sem.at[1, slot]
+            st_ct.at[slot], cf_out.at[cfs, pl.ds(fr, FROWS)],
+            wr_sem.at[1, slot]
         )
 
     def ak_dma(it, slot):
@@ -480,7 +490,7 @@ def make_slab_grid_call(dims: Tuple, scoring: Scoring, variant: str,
 
     def kernel(scal_ref, askew_ref, bp_ref, cp_ref, zeros_ref, srf_in,
                cf_in, srf_out, cf_out, out_ref, cap_out, *scratch):
-        scalars = tuple(scal_ref[0, 0, i] for i in range(13))
+        scalars = tuple(scal_ref[0, 0, i] for i in range(15))
         _slab_sweep(
             dims, scoring, scalars, askew_ref, bp_ref[0], cp_ref[0],
             zeros_ref[:], srf_in, cf_in, srf_out, cf_out, out_ref, cap_out,
@@ -529,17 +539,25 @@ def make_slab_grid_call(dims: Tuple, scoring: Scoring, variant: str,
 
 
 def make_slab_block_call(dims: Tuple, scoring: Scoring, variant: str,
-                         mode: str, interpret: bool):
+                         mode: str, interpret: bool,
+                         n_srf: Optional[int] = None,
+                         n_cf: Optional[int] = None):
     """Per-call kernel (one block per pallas_call) for the interpret scan
-    fallback, which cannot thread grid-step io-aliasing."""
+    fallback (which cannot thread grid-step io-aliasing) and for the
+    halo-sharded traceback (dist/halo.py sharded split), whose srf covers
+    only the device-local stripe (``n_srf`` slabs) and whose column face
+    is a single travelling slab (``n_cf=1``) surfaced to XLA for
+    ppermute."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims[:11]
+    n_srf = n_kb if n_srf is None else n_srf
+    n_cf = n_jb if n_cf is None else n_cf
 
     def kernel(scal_ref, askew_ref, bp_ref, cp_ref, zeros_ref, srf_in,
                cf_in, srf_out, cf_out, out_ref, cap_out, *scratch):
-        scalars = tuple(scal_ref[i] for i in range(13))
+        scalars = tuple(scal_ref[i] for i in range(15))
         _slab_sweep(
             dims, scoring, scalars, askew_ref, bp_ref[:], cp_ref[:],
             zeros_ref[:], srf_in, cf_in, srf_out, cf_out, out_ref, cap_out,
@@ -570,8 +588,8 @@ def make_slab_block_call(dims: Tuple, scoring: Scoring, variant: str,
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((n_kb, 8 * sr1, wc), jnp.int32),
-            jax.ShapeDtypeStruct((n_jb, 8 * sr2, _round_up(hb, 128)),
+            jax.ShapeDtypeStruct((n_srf, 8 * sr1, wc), jnp.int32),
+            jax.ShapeDtypeStruct((n_cf, 8 * sr2, _round_up(hb, 128)),
                                  jnp.int32),
             jax.ShapeDtypeStruct((8, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, NUM_MATRICES, hb, wc), jnp.int32),
@@ -587,8 +605,11 @@ def make_slab_block_call(dims: Tuple, scoring: Scoring, variant: str,
 
 def _scal_table(lens, ev, dims):
     """(n_blocks, 16) int32 rows (la, jb, kb, qstar, jlstar, klstar,
-    ev[0..6], pad); the final-vector target block is the one containing the
-    global final cell (lb, lc)."""
+    ev[0..6], srf_slab, cf_slab, pad); the final-vector target block is
+    the one containing the global final cell (lb, lc).  Slab indices
+    default to the global layout (srf per block column kb, cf per block
+    row jb); the halo-sharded path builds its own rows with device-local
+    indices."""
     hb, wc, lab, n_jb, n_kb = dims[:5]
     tb, tc = hb - 1, wc - 1
     la, lb, lc = lens[0], lens[1], lens[2]
@@ -614,7 +635,8 @@ def _scal_table(lens, ev, dims):
     ]
     cols += [jnp.full((n_blocks,), ev[t], jnp.int32)
              for t in range(NUM_MATRICES)]
-    cols += [jnp.zeros((n_blocks,), jnp.int32)] * 3
+    cols += [kbs, jbs]  # srf_slab, cf_slab: global layout defaults
+    cols += [jnp.zeros((n_blocks,), jnp.int32)]
     return jnp.stack(cols, axis=1).astype(jnp.int32)
 
 
