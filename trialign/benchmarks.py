@@ -328,7 +328,14 @@ def roofline(scoring: Scoring = Scoring(), measured_gcups: float = 0.0,
     reported as such rather than silently re-anchored."""
     from trialign.kernels.plane_math import op_count
 
-    STRUCTURAL_OPS = 21  # masks + 7 border selects + 2x7 halo installs / 8
+    # Steady-phase structural plane-ops (round 5): the validity mask is
+    # folded into precomputed jk planes and DROPPED once q-1 >= tb+tc
+    # (with it the 7 masked border selects -- the halo installs cover
+    # the edge cells); what remains per step is the 2x7 halo installs
+    # plus ~1 amortized capture/staging op.  Ramp macros (a (tb+tc)/qqb
+    # fraction of the sweep) still pay the mask + selects, so measured
+    # GCUPS can only approach, not reach, this ceiling.
+    STRUCTURAL_OPS = 15
     ops_cell = op_count(scoring) + STRUCTURAL_OPS
     live = measure_vpu_rate() if measure_live else 0.0
     rate = max(V5E_SUSTAINED_EOPS, live)

@@ -316,6 +316,26 @@ def _block_sweep(
         jkmod = jax.lax.rem(jk, jnp.int32(CHD))
         CHD_E = jnp.int32(CHD)
 
+    # Round-5 op cut: fold the edge mask INTO the jk plane once per
+    # sweep, so the per-step reach-and-edge test is ONE compare
+    # (jkv <= q-1) instead of the 2-3 op chain (reach compare, & edge,
+    # and in chain mode the tmod subtract becomes a plane-vs-scalar
+    # compare against the precomputed jkmod plane).  Cells outside the
+    # RESIDUAL edge -- the part the halo installs do not overwrite
+    # anyway -- get jk pushed past any q (never reached).  This is the
+    # software form of the PE array's free parallel border muxes
+    # (reference: src/PE_1cyc.v:164-218 EN_i first-column cases).
+    BIGJK = jnp.int32(1 << 30)
+    if hetero is not None:
+        jkv = jnp.where(edge, jk, BIGJK)
+    else:
+        resid = None
+        if not NEED_ROW:
+            resid = jl >= 1
+        if not NEED_COL:
+            resid = (kl >= 1) if resid is None else (resid & (kl >= 1))
+        jkv = jk if resid is None else jnp.where(resid, jk, BIGJK)
+
     def rd_row_dma(it, slot):
         # face rows q + SOFF for q in [UNB*it+1, UNB*(it+1)] -> FROWS flat rows.
         fr = 8 * (UNB * it + 1 + SOFF)
@@ -424,7 +444,7 @@ def _block_sweep(
     else:
         nmac_rt = nmac
 
-    def macro(it, carry):
+    def macro(it, carry, steady=False):
         if hetero is not None:
             p1, p2, m7p2, m7p3, cap = carry
         else:
@@ -560,14 +580,35 @@ def _block_sweep(
                 cands = tuple(((c + half) & lowmask) - half for c in cands)
             # Not-yet-reached cells (i < 1) must stay 0 -- they are
             # the zero borders future planes read.  In chain mode, slot
-            # borders i = m*CHD are additional zero faces.
-            valid = (jk <= q - 1) & edge
+            # borders i = m*CHD are additional zero faces.  In the
+            # STEADY phase (every q of this macro has q-1 >= tb+tc) all
+            # cells are reached, so the reach compare drops -- and in
+            # non-chain mode the whole mask does (the border selects
+            # below cover the edge cells the installs don't).
             if hetero is not None or CHD > 0:
-                tmod = jax.lax.rem(q, CHD_E) - jkmod
-                valid = valid & (tmod != 0)
+                # Chain slot borders recur through the whole sweep, so
+                # there is no steady phase here -- just the cheaper
+                # folded form (3 plane-ops, was 5).
+                qm = jax.lax.rem(q, CHD_E)
+                valid = (jkv <= q - 1) & (jkmod != qm)
+            else:
+                valid = None if steady else (jkv <= q - 1)
             new = []
             for t in range(NUM_MATRICES):
-                cand = jnp.where(valid, cands[t], zero)
+                cand = cands[t]
+                if valid is not None:
+                    cand = jnp.where(valid, cand, zero)
+                elif not (NEED_ROW or NEED_COL):
+                    # steady single-block: the static zero border
+                    cand = jnp.where(edge, cand, zero)
+                elif not NEED_ROW:
+                    # jl==0 is the global zero border (no row face);
+                    # zero it BEFORE the column install so the staged
+                    # corner [0,0] carries ccol[0], exactly as the
+                    # masked path did.
+                    cand = jnp.where(jl == 0, zero, cand)
+                elif not NEED_COL:
+                    cand = jnp.where(kl == 0, zero, cand)
                 # Halo install: column 0 from the col face, then row 0
                 # from the row face (row wins at [0,0], where the staged
                 # face carries the diagonal-corner value).  Single-block
@@ -661,8 +702,24 @@ def _block_sweep(
 
         jax.lax.fori_loop(0, nmac, hmacro, 0)
         out_ref[0] = state[16]
-    else:
+    elif CHD > 0:
+        # Chain mode: slot borders recur through the whole sweep, so the
+        # steady body would equal the ramp body -- one loop, no split.
         jax.lax.fori_loop(0, nmac, macro, (zeros7, zeros7, zero, zero))
+    else:
+        # Ramp/steady split: macros at it >= m_ramp have q-1 >= tb+tc on
+        # every unrolled step, so their bodies compile WITHOUT the reach
+        # mask and the 7 masked border selects (the halo installs / the
+        # static zero borders cover the edge cells).  The split point is
+        # static; all DMA scheduling uses absolute `it`, so two
+        # consecutive fori ranges behave exactly like one.
+        m_ramp = min(nmac, -(-(tb + tc) // UNB))
+        carry = jax.lax.fori_loop(0, m_ramp, macro,
+                                  (zeros7, zeros7, zero, zero))
+        if m_ramp < nmac:
+            jax.lax.fori_loop(m_ramp, nmac,
+                              lambda it, c: macro(it, c, steady=True),
+                              carry)
 
     # Drain outstanding writes so the HBM faces are complete before the
     # next block (same kernel next grid step, or next pallas_call) reads.
