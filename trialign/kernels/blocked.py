@@ -73,21 +73,27 @@ def _live_planes_for(scoring):
     return 16 + 2 * len(scoring.submatrix) + 1
 
 
-def _vmem_limit_for(dims, live_planes=16, stack_per_step=2.0):
+def _vmem_limit_for(dims, live_planes=16, stack_per_step=None):
     """vmem_limit_bytes for a geometry: None when the default 16 MB cap
     suffices (fast compiles), else the estimated requirement plus margin.
 
     ``live_planes``: resident (hb, wc) state planes -- 16 for the score
     sweep (7 p1 + 7 p2 + 2 max7 carries); the slab-capture kernels
     (kernels/slab.py) carry more.  ``stack_per_step``: Mosaic stack
-    temporaries per unrolled macro step -- ~2 measured for the score
-    sweep's step body; the slab-capture step (capture selects, per-matrix
-    masks, face stores) measures ~3.5 (kernels/slab.py passes it).
+    temporaries per unrolled macro step -- the round-5 ramp/steady SPLIT
+    score sweep measures ~3.2 (two compiled loop bodies; AOT OOM solve
+    at (152, 384, 16)), modeled 3.5 with margin; chain-mode sweeps
+    (single body, no split) stay at the original ~2; the slab-capture
+    step (capture selects, per-matrix masks, face stores) measures ~3.5
+    (kernels/slab.py passes it explicitly).  Default None resolves by
+    dims: 11-tuple = split score sweep (3.5), longer = chain (2.0).
 
     Keep requests honest AND under physical VMEM: a limit beyond what the
     chip has makes Mosaic silently SPILL scratch to HBM (S(1) buffers),
     costing ~5x at runtime -- the planner must shrink shapes instead."""
     hb, wc, unb = dims[0], dims[1], dims[10]
+    if stack_per_step is None:
+        stack_per_step = 3.5 if len(dims) <= 11 else 2.0
     hbp = _round_up(hb, 128)
     if len(dims) > 13:
         # hetero mode: no carried planes (state scratch replaces them),
@@ -113,7 +119,8 @@ def _round_up(x, m):
 
 def choose_block_shape(la: int, lb: int, lc: int,
                        vmem_budget: int = 13 * 2**20,
-                       live_planes: int = 16) -> Tuple[int, int, int]:
+                       live_planes: int = 16,
+                       stack_per_step: float = 3.5) -> Tuple[int, int, int]:
     """Pick (hb, wc, unb) minimizing total plane-work under the VMEM budget.
 
     The sweep is ALU-bound, so total vector work is the cost model; padding
@@ -138,10 +145,13 @@ def choose_block_shape(la: int, lb: int, lc: int,
                 n_jb = max(1, -(-lb // tb))
                 n_kb = max(1, -(-lc // tc))
                 qqb = _round_up(lab + tb + tc, unb)
-                # Live plane count measured on v5e: 16 carried + ~2 per
-                # unrolled step of Mosaic stack temporaries; plus the DMA
-                # rings (the symbol skew streams from HBM).
-                vmem = ((live_planes + 2 * unb) * hb * wc
+                # Live plane count measured on v5e: 16 carried + Mosaic
+                # stack temporaries per unrolled step (default ~3.5 for
+                # the round-5 ramp/steady-SPLIT score sweep -- two
+                # compiled loop bodies; single-body chain/slab callers
+                # pass 2.0 to keep their planner choices unchanged);
+                # plus the DMA rings (the symbol skew streams from HBM).
+                vmem = ((live_planes + stack_per_step * unb) * hb * wc
                         + 2 * (hb + unb) * wc
                         + 2 * 8 * unb * (2 * wc + 2 * hbp + hb)) * 4
                 if vmem > vmem_budget:
@@ -1304,7 +1314,9 @@ def align_blocked_chain(
         hb, wc = block_shape[0], block_shape[1]
         unb = block_shape[2] if len(block_shape) > 2 else DEF_UNB
     else:
-        hb, wc, unb = choose_block_shape(npack * (la + 1), lb, lc)
+        # Chain kernels have a single (unsplit) loop body: stack ~2.
+        hb, wc, unb = choose_block_shape(npack * (la + 1), lb, lc,
+                                         stack_per_step=2.0)
     dims = plan_dims_packed(la, lb, lc, npack, hb, wc, unb)
     lens, a_ext, b_arr, c_arr = prep_chain(a_list, b, c, dims)
     res = _blocked_core(

@@ -842,7 +842,12 @@ def _plan(la, lb, lc, live, block_shape):
         hb, wc = block_shape[0], block_shape[1]
         unb = block_shape[2] if len(block_shape) > 2 else DEF_UNB
     else:
-        hb, wc, unb = choose_block_shape(la, lb, lc, live_planes=live)
+        # stack_per_step=2.0 keeps the slab planner's round-4 shape
+        # choices (their actual ~3.5 stack is covered by the explicit
+        # _slab_vmem_limit request, and the 4k/8k traceback geometries
+        # are cache-warmed at those shapes).
+        hb, wc, unb = choose_block_shape(la, lb, lc, live_planes=live,
+                                         stack_per_step=2.0)
     return plan_dims(la, lb, lc, hb, wc, unb)
 
 
