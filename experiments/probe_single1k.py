@@ -18,7 +18,11 @@ Candidates (homo blocked sweep, x4 distinct for timing):
 Run: python experiments/probe_single1k.py
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -32,13 +36,14 @@ def main():
     scoring = Scoring()
     print(f"backend={jax.default_backend()}", flush=True)
     shapes = [
-        None,  # planner default
+        None,  # planner default (176, 384, 8) under the 3.5-stack model
+        (152, 384, 16),  # the pre-split planner pick (explicit vmem limit)
         (264, 640, 24),
-        (520, 640, 8),
         (520, 512, 8),
         (520, 384, 16),
         (344, 512, 16),
         (264, 512, 16),
+        (176, 512, 8),
     ]
     for shape in shapes:
         label = str(shape) if shape else "planner-default"

@@ -9,7 +9,11 @@ as a number (or justify building the hetero submatrix ring).
 Run: python experiments/probe_submatrix_batch.py
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -80,20 +80,24 @@ def _vmem_limit_for(dims, live_planes=16, stack_per_step=None):
     ``live_planes``: resident (hb, wc) state planes -- 16 for the score
     sweep (7 p1 + 7 p2 + 2 max7 carries); the slab-capture kernels
     (kernels/slab.py) carry more.  ``stack_per_step``: Mosaic stack
-    temporaries per unrolled macro step -- the round-5 ramp/steady SPLIT
-    score sweep measures ~3.2 (two compiled loop bodies; AOT OOM solve
-    at (152, 384, 16)), modeled 3.5 with margin; chain-mode sweeps
-    (single body, no split) stay at the original ~2; the slab-capture
-    step (capture selects, per-matrix masks, face stores) measures ~3.5
-    (kernels/slab.py passes it explicitly).  Default None resolves by
-    dims: 11-tuple = split score sweep (3.5), longer = chain (2.0).
+    temporaries per unrolled macro step -- ~2 for single-body sweeps;
+    the slab-capture step (capture selects, per-matrix masks, face
+    stores) measures ~3.5 (kernels/slab.py passes it explicitly).
+    The round-5 ramp/steady SPLIT score sweep (11-tuple dims) also pays
+    a FIXED ~20-25 planes: the two compiled loop bodies duplicate the
+    carried planes on Mosaic's stack (AOT OOM solves: +19.7 planes at
+    (152,384,16), +24.8 at (176,384,8) over the 2.0/step model) --
+    modeled as +28 with margin when ``stack_per_step`` is None.
 
     Keep requests honest AND under physical VMEM: a limit beyond what the
     chip has makes Mosaic silently SPILL scratch to HBM (S(1) buffers),
     costing ~5x at runtime -- the planner must shrink shapes instead."""
     hb, wc, unb = dims[0], dims[1], dims[10]
+    split_fixed = 0
     if stack_per_step is None:
-        stack_per_step = 3.5 if len(dims) <= 11 else 2.0
+        stack_per_step = 2.0
+        if len(dims) <= 11:
+            split_fixed = 28
     hbp = _round_up(hb, 128)
     if len(dims) > 13:
         # hetero mode: no carried planes (state scratch replaces them),
@@ -105,7 +109,8 @@ def _vmem_limit_for(dims, live_planes=16, stack_per_step=None):
                + 2 * (hb + len(dims[14]) * unb if len(dims) > 14 else hb + unb) * wc
                + 2 * 8 * unb * (2 * wc + 2 * hbp + hb)) * 4
     else:
-        est = int(((live_planes + stack_per_step * unb) * hb * wc
+        est = int(((live_planes + stack_per_step * unb + split_fixed)
+                   * hb * wc
                    + 2 * (hb + unb) * wc
                    + 2 * 8 * unb * (2 * wc + 2 * hbp + hb)) * 4)
     if est <= VMEM_DEFAULT_CAP - 2 * 2**20:
@@ -120,7 +125,8 @@ def _round_up(x, m):
 def choose_block_shape(la: int, lb: int, lc: int,
                        vmem_budget: int = 13 * 2**20,
                        live_planes: int = 16,
-                       stack_per_step: float = 3.5) -> Tuple[int, int, int]:
+                       stack_per_step: Optional[float] = None
+                       ) -> Tuple[int, int, int]:
     """Pick (hb, wc, unb) minimizing total plane-work under the VMEM budget.
 
     The sweep is ALU-bound, so total vector work is the cost model; padding
@@ -146,12 +152,15 @@ def choose_block_shape(la: int, lb: int, lc: int,
                 n_kb = max(1, -(-lc // tc))
                 qqb = _round_up(lab + tb + tc, unb)
                 # Live plane count measured on v5e: 16 carried + Mosaic
-                # stack temporaries per unrolled step (default ~3.5 for
-                # the round-5 ramp/steady-SPLIT score sweep -- two
-                # compiled loop bodies; single-body chain/slab callers
-                # pass 2.0 to keep their planner choices unchanged);
-                # plus the DMA rings (the symbol skew streams from HBM).
-                vmem = ((live_planes + stack_per_step * unb) * hb * wc
+                # stack temporaries (~2 per unrolled step, plus a FIXED
+                # ~28 planes for the round-5 ramp/steady-SPLIT score
+                # sweep's duplicated carries -- see _vmem_limit_for;
+                # single-body chain/slab callers pass 2.0 to keep their
+                # planner choices unchanged); plus the DMA rings (the
+                # symbol skew streams from HBM).
+                stack = (stack_per_step * unb if stack_per_step is not None
+                         else 2.0 * unb + 28)
+                vmem = ((live_planes + stack) * hb * wc
                         + 2 * (hb + unb) * wc
                         + 2 * 8 * unb * (2 * wc + 2 * hbp + hb)) * 4
                 if vmem > vmem_budget:

@@ -147,16 +147,31 @@ def test_canvas(hb: int = 48, wc: int = 128, bands: Tuple = (24, 24),
 
 
 def plan_mosaic(la_cap: int, npack_cap: Optional[int] = None,
-                geom: Optional[CanvasGeometry] = None) -> Tuple:
+                geom: Optional[CanvasGeometry] = None,
+                nb: Optional[int] = None) -> Tuple:
     """15-tuple dims for the universal mosaic canvas (single block, no
     faces): chain.plan_hetero geometry extended with the askew band
-    heights."""
+    heights.
+
+    ``nb`` overrides the static band-select count (default MAX_BANDS):
+    a dispatch whose runtime pitch d satisfies S // d + 2 <= nb only
+    ever spans nb chain slots per plane, so compiling its kernel at
+    that nb drops 2 dead plane-ops per skipped band per step (round-5:
+    every canvas dispatch of the uniform 128-512 bench workload has
+    d >= 393, i.e. nb = 4 -- 4 ops below the MAX_BANDS=6 kernel)."""
     g = geom or current_geometry()
     if npack_cap is None:
         npack_cap = g.p_cap
     dims = CH.plan_hetero(la_cap, g.hb - 1, g.wc - 1, npack_cap, g.hb,
-                          g.wc, g.unb)
+                          g.wc, g.unb, nb=nb)
     return dims + (g.bands,)
+
+
+def _nb_for_pitch(d: int, hb: int, wc: int) -> int:
+    """Static band count that covers a chain of pitch ``d`` on an
+    (hb, wc) plane: S // d + 2 (chain_pitch's bound), capped at
+    MAX_BANDS."""
+    return min(CH.MAX_BANDS, (hb + wc - 4) // d + 2)
 
 
 class Tile:
@@ -576,8 +591,16 @@ def _route_residue(residue, force=None, geom=None):
     dims_r = CH.plan_hetero(caps[0], caps[1], caps[2], g.ch_p_cap, *shape)
     hb_r, wc_r = dims_r[0], dims_r[1]
     njb_r, nkb_r, qqb_r = dims_r[3], dims_r[4], dims_r[5]
-    nb_r = dims_r[13]
     chains = CH.pack_chains(residue, max_p=g.ch_p_cap)
+    # Static band count: the residue's near-cubic problems have large
+    # pitches, so the class usually spans far fewer than MAX_BANDS
+    # slots per plane -- compile at the chains' actual requirement
+    # (2 plane-ops saved per dead band per step, round 5).
+    nb_r = max(_nb_for_pitch(
+        CH.chain_pitch(max(len(rt[0]) for _, rt in chain), hb_r, wc_r),
+        hb_r, wc_r) for chain in chains)
+    dims_r = CH.plan_hetero(caps[0], caps[1], caps[2], g.ch_p_cap, *shape,
+                            nb=nb_r)
     cost_chain = 0
     for chain in chains:
         la_max = max(len(rt[0]) for _, rt in chain)
@@ -813,14 +836,26 @@ def align_batch_mosaic(
     # and charges a penalty for opening dispatches (pack_mosaic).
     dispatches = pack_mosaic(items, geom=g)
     la_cap = max(len(rt[0]) for _, rt in items)
-    dims = plan_mosaic(la_cap, geom=g)
+    # Per-dispatch static band count (round 5): dims differ only in
+    # dims[13], so dispatches sharing an nb share a compile, and nbs
+    # that never occur never compile (the uniform 128-512 bench
+    # workload runs entirely at nb=4: one kernel, 4 fewer plane-ops
+    # per step than MAX_BANDS=6).
+    dims_by_nb = {}
+
+    def dims_for(nb):
+        if nb not in dims_by_nb:
+            dims_by_nb[nb] = plan_mosaic(la_cap, geom=g, nb=nb)
+        return dims_by_nb[nb]
+
     preps = []
     for disp in dispatches:
         d = CH.chain_pitch(max(len(rt[0]) for t in disp for _, rt in t.problems),
                            g.hb, g.wc)
+        nb_d = _nb_for_pitch(d, g.hb, g.wc)
         preps.append(
-            (prep_mosaic(disp, dims, d, geom=g), d,
-             max(len(t.problems) for t in disp))
+            (prep_mosaic(disp, dims_for(nb_d), d, geom=g), d,
+             max(len(t.problems) for t in disp), nb_d)
         )
 
     ndata = mesh.shape.get("data", 1) if mesh is not None else 1
@@ -842,7 +877,10 @@ def align_batch_mosaic(
             np.asarray([p[1] for p in padded], np.int32),
             np.asarray([p[2] for p in padded], np.int32),
         ]
-        fn = _sharded_canvas_fn(dims, scoring, interpret, mesh, nloc)
+        # One compile serves the whole stacked fleet: the band count
+        # must cover every dispatch in it.
+        dims_fleet = dims_for(max(p[3] for p in preps))
+        fn = _sharded_canvas_fn(dims_fleet, scoring, interpret, mesh, nloc)
         caps_all = fn(*(jnp.asarray(s) for s in stack))
         queue_blocked()
         drain_all()
@@ -850,19 +888,19 @@ def align_batch_mosaic(
         for row, pi in enumerate(perm):
             if pi >= k:
                 continue  # padding copy of dispatch 0
-            (_, _, _, _, _, _, _, cells, flat), _, _ = preps[pi]
+            (_, _, _, _, _, _, _, cells, flat), _, _, _ = preps[pi]
             for (blk, j, kk), oi in zip(cells, flat):
                 emit(oi, int(caps_host[row, blk, j, kk]))
         return out
 
     pending = []
-    for (a_cols, colmask, bpos, cpos, qcap, edge, layout, cells, flat), d, npk \
-            in preps:
+    for (a_cols, colmask, bpos, cpos, qcap, edge, layout, cells, flat), d, \
+            npk, nb_d in preps:
         caps = _mosaic_core(
             jnp.asarray(a_cols), jnp.asarray(colmask), jnp.asarray(bpos),
             jnp.asarray(cpos), jnp.asarray(qcap), jnp.asarray(edge),
             jnp.asarray(layout), jnp.int32(d), jnp.int32(npk),
-            dims, scoring, interpret,
+            dims_for(nb_d), scoring, interpret,
         )
         js = jnp.asarray([c[1] for c in cells])
         ks = jnp.asarray([c[2] for c in cells])
