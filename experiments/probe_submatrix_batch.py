@@ -1,10 +1,13 @@
-"""Round-5 probe (VERDICT r4 item 6): measure the submatrix-batch cliff.
+"""Round-5 probe (VERDICT r4 item 6): measure the submatrix-batch paths.
 
-A 1024-triplet mixed batch with a runtime substitution matrix cannot
-ride the mosaic/hetero canvas (no submatrix wiring in the band-select
-ring) and drops to the padded/bucketed path.  This measures that path
-end-to-end on the EXACT bench workload so README can state the cliff
-as a number (or justify building the hetero submatrix ring).
+A/B on the EXACT bench workload with a runtime substitution matrix:
+  (a) the new mosaic route (hetero ring carries 3 packed score planes,
+      plane_math.hetero_sub_planes; submatrix_geometry canvas), and
+  (b) the padded/bucketed fallback (what every submatrix batch rode
+      before round 5).
+Also watches for the ~55 MB VMEM spill cliff: a canvas rate far below
+the equality kernels' ~19-22G slots/s means the submatrix geometry
+must shrink.
 
 Run: python experiments/probe_submatrix_batch.py
 """

@@ -5,6 +5,7 @@ All on CPU interpret mode with exact golden parity."""
 import numpy as np
 import pytest
 
+from trialign.config import Scoring
 from trialign.golden import align_planes_numpy
 from tests.conftest import random_triplet
 
@@ -87,3 +88,47 @@ def test_align_batch_chained_mixed(rng):
     got = align_batch_chained(trips)
     want = [align_planes_numpy(*t) if min(map(len, t)) else 0 for t in trips]
     assert got == want
+
+
+def test_hetero_chain_submatrix_parity(rng):
+    """Runtime submatrix through the hetero band-select ring: the ring
+    carries 3 packed score planes per slot (plane_math.hetero_sub_planes)
+    instead of the symbol plane -- TPU-native form of the testbench's
+    never-wired score-matrix ports (reference:
+    src/TriAlign_tb.sv:220-224,280-290)."""
+    from trialign.kernels.chain import align_chain
+
+    sub = ((2, -1, -2, -1), (-1, 2, -1, -2), (-2, -1, 2, -1), (-1, -2, -1, 2))
+    scoring = Scoring(submatrix=sub)
+    trips = [_rt(rng, 11, 9, 17), _rt(rng, 6, 9, 13), _rt(rng, 14, 21, 8),
+             _rt(rng, 3, 9, 17)]
+    got = align_chain(trips, scoring)
+    want = [align_planes_numpy(*t, scoring) for t in trips]
+    assert got == want
+
+
+def test_hetero_chain_submatrix_asymmetric_floor(rng):
+    """Asymmetric matrix + extreme byte-range entries: S(x,y) != S(y,x)
+    must survive the packed-byte extraction, and the clamped floor must
+    apply to pads."""
+    from trialign.kernels.chain import align_chain
+
+    sub = ((5, -3, 0), (-1, 4, -7), (2, -128, 3))  # 3 symbols, asymmetric
+    scoring = Scoring(submatrix=sub)
+    trips = [tuple(rng.integers(0, 3, n).astype(np.uint8) for n in lens)
+             for lens in ((12, 8, 15), (10, 9, 13), (7, 11, 16))]
+    got = align_chain(trips, scoring)
+    want = [align_planes_numpy(*t, scoring) for t in trips]
+    assert got == want
+
+
+def test_hetero_chain_submatrix_ineligible_raises(rng):
+    from trialign.kernels.chain import align_chain
+
+    big = tuple(tuple(1 if i == j else -1 for j in range(5))
+                for i in range(5))
+    with np.testing.assert_raises(ValueError):
+        align_chain([_rt(rng, 5, 5, 5)], Scoring(submatrix=big))
+    wide = ((300, -1), (-1, 300))  # beyond byte range
+    with np.testing.assert_raises(ValueError):
+        align_chain([_rt(rng, 5, 5, 5)], Scoring(submatrix=wide))

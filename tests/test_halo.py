@@ -92,13 +92,12 @@ def test_halo_uneven_kb_padding(rng):
 
 def test_halo_efficiency_model_accounts_padding():
     from trialign.dist.halo import halo_efficiency
-    from trialign.kernels.blocked import choose_block_shape
 
-    # lc=300 at the SINGLE-CHIP planner's shape is one block column: 8
-    # stripes compute ~7/8 padding and the model must say so.
-    eff_old = halo_efficiency(
-        16, 140, 300, 8, block_shape=choose_block_shape(16, 140, 300)
-    )
+    # lc=300 in ONE block column (wc=384 covers it): 8 stripes compute
+    # ~7/8 padding and the model must say so.  (The shape is pinned --
+    # the single-chip planner's default moved off the one-column shape
+    # when its stack model was re-anchored in round 5.)
+    eff_old = halo_efficiency(16, 140, 300, 8, block_shape=(144, 384, 8))
     assert eff_old["k_fill"] <= 0.15
     assert eff_old["total"] < 0.1
     # The mesh-aware planner must do strictly better on the same problem.

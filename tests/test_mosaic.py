@@ -5,6 +5,7 @@ to the production (HB, WC) canvas."""
 import numpy as np
 import pytest
 
+from trialign.config import Scoring
 from trialign.golden import align_planes_numpy
 from tests.conftest import random_triplet
 
@@ -324,3 +325,72 @@ def test_geometry_parameter_coexists_with_default(rng):
     assert got == want
     # Module defaults untouched: production geometry still current.
     assert M.current_geometry().hb == M.HB == 328
+
+
+def test_mosaic_submatrix_parity(rng):
+    """Runtime submatrix through the full mosaic stack (canvas tiles +
+    tall class + residue routing) on a shrunk geometry."""
+    import trialign.kernels.mosaic as M
+    from trialign.golden import align_planes_numpy
+
+    small = M.CanvasGeometry(hb=48, wc=128, bands=(24, 24), nt_max=6,
+                             p_cap=4, unb=8, ch_p_cap=4,
+                             tall_shapes=((80, 128, 8),))
+    sub = ((2, -1, -2, -1), (-1, 2, -1, -2), (-2, -1, 2, -1),
+           (-1, -2, -1, 2))
+    scoring = Scoring(submatrix=sub)
+    trips = [_rt(rng, 12, 10, 24), _rt(rng, 8, 14, 9), _rt(rng, 20, 60, 30),
+             _rt(rng, 5, 21, 40)]
+    want = [align_planes_numpy(*t, scoring) for t in trips]
+    got = M.align_batch_mosaic(trips, scoring, geom=small)
+    assert got == want
+
+
+def test_submatrix_geometry_under_vmem_cliff():
+    """The submatrix default geometry must keep every kernel class under
+    the measured ~55 MB spill cliff WITH the 3-plane ring."""
+    import trialign.kernels.mosaic as M
+
+    g = M.submatrix_geometry()
+
+    def vmem_bytes(hb, wc, unb, nbr, rp=3):
+        return ((2 * unb + 17 + (1 + rp) * nbr + 5) * hb * wc) * 4
+    assert vmem_bytes(g.hb, g.wc, g.unb, 9) < 55 * 2**20
+    for t_hb, t_wc, t_unb in g.tall_shapes:
+        assert vmem_bytes(t_hb, t_wc, t_unb, 7) < 55 * 2**20
+
+
+def test_api_routes_eligible_submatrix_to_mosaic(rng, small_canvas,
+                                                 monkeypatch):
+    """api.align_batch sends large batches with a <=4-symbol byte-range
+    submatrix through the mosaic engine (round-5 fast path) instead of
+    the padded fallback; ineligible matrices keep the old route."""
+    from trialign.api import align_batch
+
+    M = small_canvas
+    monkeypatch.setenv("TRIALIGN_FORCE_MOSAIC", "1")
+    calls = []
+    orig = M.align_batch_mosaic
+
+    def spy(trips, scoring, **kw):
+        calls.append(len(trips))
+        return orig(trips, scoring, **kw)
+
+    monkeypatch.setattr(M, "align_batch_mosaic", spy)
+    sub = ((2, -1, -2, -1), (-1, 2, -1, -2), (-2, -1, 2, -1),
+           (-1, -2, -1, 2))
+    scoring = Scoring(submatrix=sub)
+    trips = [_rt(rng, int(rng.integers(3, 10)), int(rng.integers(4, 12)),
+                 int(rng.integers(4, 20))) for _ in range(64)]
+    res = align_batch(trips, scoring)
+    assert [r.score for r in res] == [align_planes_numpy(*t, scoring)
+                                      for t in trips]
+    assert calls == [64]
+    # a 5-symbol matrix is ring-ineligible: stays off mosaic
+    big = tuple(tuple(1 if i == j else -1 for j in range(5))
+                for i in range(5))
+    res2 = align_batch(trips[:4], Scoring(submatrix=big))
+    assert calls == [64]
+    assert [r.score for r in res2] == [
+        align_planes_numpy(*t, Scoring(submatrix=big)) for t in trips[:4]
+    ]

@@ -289,13 +289,18 @@ def align_batch(
 
     t0 = time.perf_counter()
     arrs = [(_prep(a), _prep(b), _prep(c)) for a, b, c in triplets]
-    if scoring.submatrix is not None:
-        # Substitution-matrix scoring: small alphabets ride the batched
-        # padded/bucketed production path (the vmap'd wavefront kernel and
-        # chained blocked sweeps both evaluate the matrix via select-chain
-        # tables, plane_math.submatrix_tables); big alphabets fall back to
-        # per-item XLA sweeps.  The mosaic/hetero canvas has no submatrix
-        # wiring, so large batches stay on the bucketed path here.
+    from trialign.kernels.plane_math import hetero_sub_ok
+
+    if scoring.submatrix is not None and not hetero_sub_ok(scoring.submatrix):
+        # Substitution-matrix scoring beyond the hetero ring's byte
+        # packing (> 4 symbols or entries outside [-128, 127]): small
+        # alphabets ride the batched padded/bucketed production path
+        # (the vmap'd wavefront kernel and chained blocked sweeps both
+        # evaluate the matrix via select-chain tables,
+        # plane_math.submatrix_tables); big alphabets fall back to
+        # per-item XLA sweeps.  (<= 4-symbol byte-range matrices -- the
+        # DNA case -- fall through to the mosaic gate below: the hetero
+        # ring carries packed score planes, plane_math.hetero_sub_planes.)
         from trialign.kernels.wavefront import SUBMATRIX_NSYM_CAP
 
         if len(scoring.submatrix) <= SUBMATRIX_NSYM_CAP:

@@ -431,7 +431,10 @@ def align_batch_sharded(
         jax.default_backend() == "tpu"
         or os.environ.get("TRIALIGN_FORCE_MOSAIC") == "1"
     )
-    if on_tpu and len(triplets) >= 64 and scoring.submatrix is None:
+    from trialign.kernels.plane_math import hetero_sub_ok
+
+    if on_tpu and len(triplets) >= 64 and (
+            scoring.submatrix is None or hetero_sub_ok(scoring.submatrix)):
         from trialign.api import LA_MOSAIC_CAP
         from trialign.kernels.mosaic import align_batch_mosaic
 

@@ -43,6 +43,7 @@ import numpy as np
 from trialign.config import NUM_MATRICES, PAD_SYMBOL, Scoring
 from trialign.kernels.plane_math import (
     fused_plane_update_m7,
+    hetero_sub_ok,
     submatrix_pair,
     submatrix_tables,
     transition_groups,
@@ -73,7 +74,8 @@ def _live_planes_for(scoring):
     return 16 + 2 * len(scoring.submatrix) + 1
 
 
-def _vmem_limit_for(dims, live_planes=16, stack_per_step=None):
+def _vmem_limit_for(dims, live_planes=16, stack_per_step=None,
+                    ring_planes=1):
     """vmem_limit_bytes for a geometry: None when the default 16 MB cap
     suffices (fast compiles), else the estimated requirement plus margin.
 
@@ -105,7 +107,10 @@ def _vmem_limit_for(dims, live_planes=16, stack_per_step=None):
         # unrolled step (measured: 80.5 MB actual at (520,512,NB6)):
         # 4*unb stack + 17 state + B/C rings + 5 input planes + windows.
         nbr = dims[13] + 3
-        est = ((4 * unb + 17 + 2 * nbr + 5) * hb * wc
+        # Submatrix hetero mode (ring_planes=3) triples the resident ring
+        # and widens the step body (3 band-selected planes live at once).
+        est = (((3 + ring_planes) * unb + 17 + (1 + ring_planes) * nbr + 5)
+               * hb * wc
                + 2 * (hb + len(dims[14]) * unb if len(dims) > 14 else hb + unb) * wc
                + 2 * 8 * unb * (2 * wc + 2 * hbp + hb)) * 4
     else:
@@ -306,8 +311,19 @@ def _block_sweep(
                 bp, cp, scoring.submatrix, jnp.int32, jnp.where
             )
     else:
-        assert scoring.submatrix is None, \
-            "submatrix scoring is not wired into the hetero band-select ring"
+        # Runtime submatrix in hetero mode: the ring carries THREE packed
+        # planes per slot (plane_math.hetero_sub_planes) -- S(B,C) direct
+        # plus byte-packed per-A-symbol tables extracted by one per-lane
+        # variable shift -- so per-step cost stays ~+8 ops over the
+        # equality scheme instead of an nsym^2 select chain.
+        subm = scoring.submatrix is not None
+        if subm:
+            assert hetero_sub_ok(scoring.submatrix), \
+                "hetero submatrix needs nsym <= 4 and byte-range entries"
+            nsym_h = np.int32(len(scoring.submatrix))
+            floor_h = np.int32(
+                min(min(min(r) for r in scoring.submatrix), -1)
+            )
         # Runtime chain parameters: the slot pitch d_rt and slot count
         # npack_rt are SMEM scalars (one compiled kernel serves a whole
         # geometry class); jkmod = jk mod d_rt arrives as an input plane
@@ -556,13 +572,37 @@ def _block_sweep(
                     mb = m0 + b_
                     in_band = jk < q - mb * CHD_E
                     pos = jax.lax.rem(mb, jnp.int32(NBR))
+                    if subm:
+                        in_band = in_band[None]
                     bcsel = jnp.where(in_band, bc_ring[pos], bcsel)
-                bq = jax.lax.bitwise_and(bcsel, jnp.int32(0xFF))
-                cq = jax.lax.shift_right_logical(bcsel, 8)
-                s_bc_q = jnp.where(bq == cq, match, mismatch)
+                if subm:
+                    # bcsel is the slot's (3, hb, wc) packed score entry:
+                    # [0] = S(B,C) read directly; [1]/[2] = biased per-A-
+                    # symbol bytes, one variable shift + mask + unbias.
+                    s_bc_q = bcsel[0]
+                    apv = ap < nsym_h
+                    sh = (ap & 3) << 3
+                    s_ab = jnp.where(
+                        apv,
+                        (jax.lax.shift_right_logical(bcsel[1], sh) & 0xFF)
+                        - 128,
+                        floor_h,
+                    )
+                    s_ac = jnp.where(
+                        apv,
+                        (jax.lax.shift_right_logical(bcsel[2], sh) & 0xFF)
+                        - 128,
+                        floor_h,
+                    )
+                else:
+                    bq = jax.lax.bitwise_and(bcsel, jnp.int32(0xFF))
+                    cq = jax.lax.shift_right_logical(bcsel, 8)
+                    s_bc_q = jnp.where(bq == cq, match, mismatch)
             else:
                 bq, cq, s_bc_q = bp, cp, s_bc
-            if hetero is None and scoring.submatrix is not None:
+            if hetero is not None and subm:
+                pass  # the three pair scores came off the packed ring
+            elif hetero is None and scoring.submatrix is not None:
                 s_ab = submatrix_pair(ap, sub_sb, sub_floor, jnp.where)
                 s_ac = submatrix_pair(ap, sub_sc, sub_floor, jnp.where)
             else:
@@ -898,15 +938,19 @@ def make_grid_call(dims: Tuple, scoring: Scoring, interpret: bool,
     )
 
 
-def _hetero_scratch_shapes(hb, wc, unb, nbr, njb_bands=1):
+def _hetero_scratch_shapes(hb, wc, unb, nbr, njb_bands=1, ring_planes=1):
     from jax.experimental.pallas import tpu as pltpu
 
     base = _scratch_shapes(hb, wc, unb)
     # Multi-band symbol windows: one row range + DMA semaphore per band.
     base[5] = pltpu.VMEM((2, hb + njb_bands * unb, wc), jnp.int32)
     base[8] = pltpu.SemaphoreType.DMA((2, njb_bands))
+    # Submatrix mode: 3 packed score planes per slot (hetero_sub_planes)
+    # instead of the 1 packed symbol plane.
+    ring_shape = ((nbr, hb, wc) if ring_planes == 1
+                  else (nbr, ring_planes, hb, wc))
     return base + [
-        pltpu.VMEM((nbr, hb, wc), jnp.int32),  # bc_ring (packed B | C<<8)
+        pltpu.VMEM(ring_shape, jnp.int32),  # bc_ring (packed B | C<<8)
         pltpu.SemaphoreType.DMA((1, nbr)),  # ring_sem
         # Sweep state (7 p1 + 7 p2 + m7p2 + m7p3 + cap): scratch, not loop
         # carries, so the macro body can runtime-skip itself wholesale via
@@ -925,6 +969,7 @@ def make_hetero_grid_call(dims: Tuple, scoring: Scoring, interpret: bool):
     hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims[:11]
     nbr = dims[13] + 3
     njb_bands = len(dims[14]) if len(dims) > 14 else 1
+    ring_planes = 3 if scoring.submatrix is not None else 1
     n_blocks = n_jb * n_kb
 
     def kernel(scal_ref, askew_ref, qcap_ref, jkmod_ref, edge_ref,
@@ -968,10 +1013,13 @@ def make_hetero_grid_call(dims: Tuple, scoring: Scoring, interpret: bool):
         ),
         input_output_aliases={6: 0, 7: 1},
         interpret=interpret,
-        scratch_shapes=_hetero_scratch_shapes(hb, wc, unb, nbr, njb_bands),
+        scratch_shapes=_hetero_scratch_shapes(hb, wc, unb, nbr, njb_bands,
+                                              ring_planes),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=_vmem_limit_for(dims, _live_planes_for(scoring)),
+            vmem_limit_bytes=_vmem_limit_for(
+                dims, _live_planes_for(scoring), ring_planes=ring_planes
+            ),
         ),
     )
 
@@ -985,6 +1033,7 @@ def make_hetero_block_call(dims: Tuple, scoring: Scoring, interpret: bool):
     hb, wc, lab, n_jb, n_kb, qqb, kdim, jdim, sr1, sr2, unb = dims[:11]
     nbr = dims[13] + 3
     njb_bands = len(dims[14]) if len(dims) > 14 else 1
+    ring_planes = 3 if scoring.submatrix is not None else 1
 
     def kernel(scal_ref, askew_ref, qcap_ref, jkmod_ref, edge_ref,
                zeros_ref, srf_in, cf_in, bct, srf_out, cf_out,
@@ -1019,7 +1068,8 @@ def make_hetero_block_call(dims: Tuple, scoring: Scoring, interpret: bool):
             pl.BlockSpec(memory_space=pltpu.HBM),  # cf (aliased)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # cap (1, hb, wc)
         ),
-        scratch_shapes=_hetero_scratch_shapes(hb, wc, unb, nbr, njb_bands),
+        scratch_shapes=_hetero_scratch_shapes(hb, wc, unb, nbr, njb_bands,
+                                              ring_planes),
     )
 
     return pl.pallas_call(
@@ -1034,7 +1084,9 @@ def make_hetero_block_call(dims: Tuple, scoring: Scoring, interpret: bool):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=_vmem_limit_for(dims, _live_planes_for(scoring)),
+            vmem_limit_bytes=_vmem_limit_for(
+                dims, _live_planes_for(scoring), ring_planes=ring_planes
+            ),
         ),
     )
 

@@ -33,6 +33,7 @@ import numpy as np
 
 from trialign.config import PAD_SYMBOL, Scoring
 from trialign.kernels import blocked as BK
+from trialign.kernels import plane_math as PM
 
 # Cap on simultaneously-active bands (per-step select cost grows with NB);
 # the planner pads the chain pitch d up instead of exceeding it.  6 keeps
@@ -79,7 +80,8 @@ def plan_hetero(la_cap: int, lb_max: int, lc_max: int, npack_cap: int,
 
 
 def choose_chain_shape(la_max: int, lb_max: int, lc_max: int,
-                       npack: int) -> Tuple[int, int, int]:
+                       npack: int,
+                       ring_planes: int = 1) -> Tuple[int, int, int]:
     """(hb, wc, unb) for a hetero chain.  Prefers single-block geometry
     (hb >= lb+1, single k-block up to wc=640) -- the raised Mosaic VMEM
     limit admits it -- falling back to multi-block for big lb/lc."""
@@ -97,7 +99,10 @@ def choose_chain_shape(la_max: int, lb_max: int, lc_max: int,
             # 4*unb stack temporaries + 17 state + rings + inputs; past
             # ~55 MB Mosaic silently spills scratch to HBM at ~5x runtime
             # cost (measured), so the budget stays under the cliff.
-            vmem = ((4 * 8 + 17 + 2 * nbr + 5) * hb * wc
+            # Submatrix mode (ring_planes=3) triples the resident ring and
+            # widens the step body.
+            vmem = (((3 + ring_planes) * 8 + 17 + (1 + ring_planes) * nbr
+                     + 5) * hb * wc
                     + 2 * (hb + 8) * wc) * 4
             if vmem > 50 * 2**20:
                 continue
@@ -155,6 +160,20 @@ def prep_hetero(triplets, dims, d):
     return a_ext, b_all, c_all, qcap, cells
 
 
+def pack_sub_tables(bpt, cpt, scoring, out_shape):
+    """Packed 3-plane substitution tables for the hetero ring: broadcast
+    the per-slot B/C symbol planes, run plane_math.hetero_sub_planes, and
+    stack to ``out_shape[:-2] + (3,) + out_shape[-2:]`` (the per-slot ring
+    entry the kernel DMAs whole)."""
+    p0, p1, p2, _ = PM.hetero_sub_planes(
+        bpt, cpt, scoring.submatrix, jnp.int32, jnp.where
+    )
+    full = jnp.broadcast_shapes(p0.shape, p1.shape, p2.shape)
+    planes = [jnp.broadcast_to(x, full).reshape(out_shape)
+              for x in (p0, p1, p2)]
+    return jnp.stack(planes, axis=-3)
+
+
 def _hetero_core_impl(a_ext, b_all, c_all, qcap, d, npack, dims, scoring,
                       interpret, edge=None, askew_override=None,
                       bct_override=None):
@@ -184,7 +203,11 @@ def _hetero_core_impl(a_ext, b_all, c_all, qcap, d, npack, dims, scoring,
         cwin = c_all[:, k0s[:, None] + jnp.arange(wc, dtype=jnp.int32)[None, :]]
         bpt = jnp.swapaxes(bwin, 0, 1)[:, None, :, :, None]  # (njb,1,s,hb,1)
         cpt = jnp.swapaxes(cwin, 0, 1)[None, :, :, None, :]  # (1,nkb,s,1,wc)
-        bct = (bpt | (cpt << 8)).reshape(n_jb * n_kb, npack_cap, hb, wc)
+        if scoring.submatrix is None:
+            bct = (bpt | (cpt << 8)).reshape(n_jb * n_kb, npack_cap, hb, wc)
+        else:
+            bct = pack_sub_tables(bpt, cpt, scoring,
+                                  (n_jb * n_kb, npack_cap, hb, wc))
     zeros = jnp.zeros((hb, wc), jnp.int32)
     jgrid = jnp.arange(hb, dtype=jnp.int32)[:, None]
     kgrid = jnp.arange(wc, dtype=jnp.int32)[None, :]
@@ -251,10 +274,12 @@ def align_chain(
     Constraint (packer-enforced; asserted): the (lb, lc) pairs must map to
     distinct final cells per block.  Use align_batch_chained for arbitrary
     batches -- it buckets, packs and dispatches chains automatically."""
-    if scoring.submatrix is not None:
-        raise ValueError("submatrix scoring is not wired into the hetero "
-                         "band-select ring: use api.align_batch (it routes "
-                         "submatrix batches through the padded/bucketed path)")
+    if scoring.submatrix is not None and not PM.hetero_sub_ok(
+            scoring.submatrix):
+        raise ValueError(
+            "hetero submatrix needs <= 4 symbols with byte-range entries: "
+            "use api.align_batch (it routes such batches through the "
+            "padded/bucketed path)")
     triplets = [tuple(np.asarray(s) for s in t) for t in triplets]
     if not triplets:
         return []
@@ -266,7 +291,10 @@ def align_chain(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if block_shape is None:
-        block_shape = choose_chain_shape(la_max, lb_max, lc_max, npack)
+        block_shape = choose_chain_shape(
+            la_max, lb_max, lc_max, npack,
+            ring_planes=1 if scoring.submatrix is None else 3,
+        )
     dims = plan_hetero(la_max, lb_max, lc_max, npack, *block_shape)
     d = chain_pitch(la_max, dims[0], dims[1])
     a_ext, b_all, c_all, qcap, cells = prep_hetero(triplets, dims, d)
@@ -347,7 +375,10 @@ def align_batch_chained(
         la_cap = max(len(t[0]) for _, t in items)
         # ONE compile per class: static dims sized for the class ceiling
         # (la_cap, max_p); each chain passes its runtime (d, npack).
-        shape = choose_chain_shape(la_cap, lb_max, lc_max, max_p)
+        shape = choose_chain_shape(
+            la_cap, lb_max, lc_max, max_p,
+            ring_planes=1 if scoring.submatrix is None else 3,
+        )
         dims = plan_hetero(la_cap, lb_max, lc_max, max_p, *shape)
         for chain in chains:
             la_max = max(len(t[0]) for _, t in chain)

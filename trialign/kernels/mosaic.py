@@ -110,6 +110,25 @@ class CanvasGeometry:
         return out
 
 
+def submatrix_geometry() -> CanvasGeometry:
+    """Default geometry for runtime-submatrix batches: the hetero ring
+    carries THREE packed score planes per slot (hetero_sub_planes), so
+    the resident working set grows by ~2 ring planes per slot and the
+    production canvas would cross the ~55 MB silent-spill cliff.  This
+    variant narrows the canvas to <=384 lanes at unb=8 and drops the
+    tall classes to <=256 lanes -- conservative until a TPU probe pins
+    the submatrix kernels' real spill point.  Derived from the current
+    (possibly test-shrunk) geometry so test_canvas() contexts compose."""
+    g = current_geometry()
+    return dataclasses.replace(
+        g,
+        wc=min(g.wc, 384),
+        unb=min(g.unb, 8),
+        tall_shapes=tuple((th, min(tw, 256), tu)
+                          for th, tw, tu in g.tall_shapes),
+    )
+
+
 def current_geometry() -> CanvasGeometry:
     """The module-default geometry (production constants unless a
     test_canvas() context is active)."""
@@ -467,11 +486,16 @@ def _mosaic_core_impl(a_cols, colmask, bpos, cpos, qcap, edge, layout, d,
     bpt = jnp.where(owned[None], bpt, jnp.int32(PAD_SYMBOL - 1))
     cpt = jnp.where(owned[None], cpt, jnp.int32(PAD_SYMBOL - 2))
 
+    if scoring.submatrix is None:
+        bct = (bpt | (cpt << 8))[None]
+    else:
+        bct = CH.pack_sub_tables(bpt, cpt, scoring,
+                                 (1, npack_cap, hb, wc))
     return CH._hetero_core(
         jnp.zeros((lab + 2,), jnp.int32), jnp.zeros((npack_cap, 1), jnp.int32),
         jnp.zeros((npack_cap, 1), jnp.int32), qcap, d, npack, dims, scoring,
         interpret, edge=edge,
-        askew_override=askew, bct_override=(bpt | (cpt << 8))[None],
+        askew_override=askew, bct_override=bct,
     )
 
 
@@ -570,7 +594,7 @@ def _sharded_canvas_fn(dims, scoring, interpret, mesh, nloc):
     ))
 
 
-def _route_residue(residue, force=None, geom=None):
+def _route_residue(residue, force=None, geom=None, ring_planes=1):
     """Route the tall residue (problems fitting no tall class):
     returns (blocked_items, (dims, chains) | None).
 
@@ -587,7 +611,8 @@ def _route_residue(residue, force=None, geom=None):
     if force == "blocked":
         return residue, None
     caps = tuple(max(len(rt[ax]) for _, rt in residue) for ax in range(3))
-    shape = CH.choose_chain_shape(caps[0], caps[1], caps[2], g.ch_p_cap)
+    shape = CH.choose_chain_shape(caps[0], caps[1], caps[2], g.ch_p_cap,
+                                  ring_planes=ring_planes)
     dims_r = CH.plan_hetero(caps[0], caps[1], caps[2], g.ch_p_cap, *shape)
     hb_r, wc_r = dims_r[0], dims_r[1]
     njb_r, nkb_r, qqb_r = dims_r[3], dims_r[4], dims_r[5]
@@ -649,10 +674,16 @@ def align_batch_mosaic(
     elastic-recovery row; the reference has none, its FSM parks forever,
     reference: src/TriAlign_1cyc.v:225-348)."""
     if scoring.submatrix is not None:
-        raise ValueError("submatrix scoring is not wired into the hetero "
-                         "band-select ring: use api.align_batch (it routes "
-                         "submatrix batches through the padded/bucketed path)")
-    g = geom or current_geometry()
+        from trialign.kernels.plane_math import hetero_sub_ok
+
+        if not hetero_sub_ok(scoring.submatrix):
+            raise ValueError(
+                "mosaic submatrix needs <= 4 symbols with byte-range "
+                "entries: use api.align_batch (it routes such batches "
+                "through the padded/bucketed path)")
+        g = geom or submatrix_geometry()
+    else:
+        g = geom or current_geometry()
     triplets = [tuple(np.asarray(s) for s in t) for t in triplets]
     sop = scoring.s3_mode == "sop"
     out = [0] * len(triplets)
@@ -717,7 +748,9 @@ def align_batch_mosaic(
             chain_groups.append((dims_t, jobs))
         if residue:
             force = None if residue_route == "auto" else residue_route
-            blocked_residue, grp = _route_residue(residue, force, geom=g)
+            blocked_residue, grp = _route_residue(
+                residue, force, geom=g,
+                ring_planes=1 if scoring.submatrix is None else 3)
             if grp is not None:
                 dims_r, chains_r = grp
                 t_hb, t_wc = dims_r[0], dims_r[1]

@@ -189,6 +189,64 @@ def submatrix_pair_score(x, y, submatrix, where, dtype=np.int32):
     return acc
 
 
+def hetero_sub_planes(bq, cq, submatrix, dtype, where):
+    """Packed per-slot substitution planes for the HETERO band-select
+    ring (per-slot B/C, runtime submatrix).  The homo path's static
+    tables (submatrix_tables) cannot serve a hetero chain -- every slot
+    owns its own B/C -- so the ring itself carries the scores, packed so
+    the per-step cost stays flat:
+
+    * ``p0[j,k] = S(B_j, C_k)`` -- plain dtype plane, read directly
+      (zero per-step extraction ops);
+    * ``p1[j,k] = sum_v (S(v, B_j) + 128) << 8v`` -- the per-A-symbol
+      pair scores byte-packed (biased +128), extracted per step by ONE
+      per-lane variable shift on the moving A plane;
+    * ``p2`` likewise for C.
+
+    Out-of-alphabet codes (sequence pads, border sentinels) bake the
+    clamped floor into every byte, matching Scoring.sub_lookup().
+    Requires nsym <= 4 and entries in [-128, 127] (callers route bigger
+    alphabets/values to the padded path -- see hetero_sub_ok).
+
+    TPU-native counterpart of the testbench's planned-but-never-wired
+    score-matrix ports (reference: src/TriAlign_tb.sv:220-224,280-290).
+    Returns (p0, p1, p2, floor)."""
+    nsym = len(submatrix)
+    assert nsym <= 4
+    floor = dtype(min(min(min(r) for r in submatrix), -1))
+    sb, sc = [], []  # sb[v] = S(v, B_j), sc[v] = S(v, C_k)
+    for v in range(nsym):
+        accb = None
+        accc = None
+        for u in range(nsym):
+            cu = dtype(submatrix[v][u])
+            accb = where(bq == u, cu, floor if accb is None else accb)
+            accc = where(cq == u, cu, floor if accc is None else accc)
+        sb.append(accb)
+        sc.append(accc)
+    p0 = None
+    for v in range(nsym):
+        p0 = where(bq == v, sc[v], floor if p0 is None else p0)
+    bias = dtype(128)
+    p1 = (sb[0] + bias)
+    p2 = (sc[0] + bias)
+    for v in range(1, nsym):
+        p1 = p1 | ((sb[v] + bias) << (8 * v))
+        p2 = p2 | ((sc[v] + bias) << (8 * v))
+    return p0, p1, p2, floor
+
+
+def hetero_sub_ok(submatrix) -> bool:
+    """True when a runtime submatrix fits the hetero ring's byte packing
+    (nsym <= 4 symbols, every entry and the clamped floor biasable into
+    one byte)."""
+    if submatrix is None or len(submatrix) > 4:
+        return False
+    lo = min(min(min(r) for r in submatrix), -1)
+    hi = max(max(r) for r in submatrix)
+    return -128 <= lo and hi <= 127
+
+
 def submatrix_pair(ap, stack, floor, where):
     """Per-step pairwise score plane S(A_i, X) for the moving symbol plane
     ``ap`` against a per-symbol table ``stack`` from submatrix_tables:
