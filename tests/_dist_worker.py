@@ -60,8 +60,21 @@ def main() -> int:
     halo_score = align_sharded_triplet(
         a, b, c, mesh=mesh_m, block_shape=(16, 128)
     )
+
+    # Sharded traceback across the SAME process boundary: the Hirschberg
+    # top split's F/G slab sweeps run on the halo fleet, so the alignment
+    # itself (not just the score) is recovered through cross-process
+    # collectives (round-4 VERDICT item 5 composed with item 8).
+    from trialign.traceback import rescore_alignment
+
+    tb_score, rows = align_sharded_triplet(
+        a, b, c, mesh=mesh_m, return_alignment=True
+    )
+    tb_rescore = rescore_alignment(rows)
     print(json.dumps({"pid": pid, "scores": scores,
-                      "halo_score": int(halo_score)}), flush=True)
+                      "halo_score": int(halo_score),
+                      "tb_score": int(tb_score),
+                      "tb_rescore": int(tb_rescore)}), flush=True)
     return 0
 
 

@@ -100,8 +100,10 @@ def test_hetero_chain_submatrix_parity(rng):
 
     sub = ((2, -1, -2, -1), (-1, 2, -1, -2), (-2, -1, 2, -1), (-1, -2, -1, 2))
     scoring = Scoring(submatrix=sub)
+    # Distinct (lb, lc) final cells per align_chain's packer contract
+    # (same-cell triplets ride align_batch_chained, which splits chains).
     trips = [_rt(rng, 11, 9, 17), _rt(rng, 6, 9, 13), _rt(rng, 14, 21, 8),
-             _rt(rng, 3, 9, 17)]
+             _rt(rng, 3, 10, 17)]
     got = align_chain(trips, scoring)
     want = [align_planes_numpy(*t, scoring) for t in trips]
     assert got == want

@@ -80,3 +80,9 @@ def test_two_process_dcn_batch():
         # oracle score for the model-axis-striped triplet.
         assert rec["halo_score"] == want_halo, (pid, rec["halo_score"],
                                                 want_halo)
+        # Sharded traceback across the process boundary: optimal score
+        # AND a rescore-exact alignment.
+        assert rec["tb_score"] == want_halo, (pid, rec["tb_score"],
+                                              want_halo)
+        assert rec["tb_rescore"] == want_halo, (pid, rec["tb_rescore"],
+                                                want_halo)

@@ -341,16 +341,37 @@ def _solve_traced(
         # XLA fallback spending ~55 s per 2k-class pin node of a 4k^3
         # traceback.
         from trialign.kernels.slab import split_point_blocked_async
+        from trialign.traceback.direct import MEM_BUDGET
 
-        sp_fetch = split_point_blocked_async(
-            a, b, c, m, scoring, mode=mode, end_v=end_v, v0=v0
-        )
-        h_fetch = (
-            _fwd_slab_async(a[m:], b, c, scoring, "free_jk", None, None)
-            if freeish
-            else None
-        )
-        sstar, jstar, kstar, score = sp_fetch()
+        # Reserve this node's device footprint before dispatching: the
+        # F/G capture slabs (~1.15x the assembled slab each, padding),
+        # the combine's assembled F/G planes, and the free_jk restart
+        # sweep's capture buffer.  Without it, the recursion's up-to-2^d
+        # concurrent depth-d nodes plus one ~10 GB direct leaf (which
+        # MEM_BUDGET already serializes) overcommitted HBM at 8192^3
+        # (bench traceback_8k: RESOURCE_EXHAUSTED on an input
+        # device_put at depth 3).  Released before recursing, so a
+        # child's acquire never waits on its own ancestor.
+        slab_b = NUM_MATRICES * (lb + 1) * (lc + 1) * 4
+        node_bytes = int((5.5 if freeish else 4.4) * slab_b) + (256 << 20)
+        MEM_BUDGET.acquire(node_bytes)
+        h_val = None
+        try:
+            sp_fetch = split_point_blocked_async(
+                a, b, c, m, scoring, mode=mode, end_v=end_v, v0=v0
+            )
+            h_fetch = (
+                _fwd_slab_async(a[m:], b, c, scoring, "free_jk", None, None)
+                if freeish
+                else None
+            )
+            sstar, jstar, kstar, score = sp_fetch()
+            if freeish:
+                h_final, _ = h_fetch()
+                h_val = (int(h_final[end_state]) if end_state is not None
+                         else int(h_final.max()))
+        finally:
+            MEM_BUDGET.release(node_bytes)
     else:
         f_fetch = _fwd_slab_async(a[:m], b, c, scoring, mode, v0, m)
         g_fetch = _bwd_slab_async(a[m:], b, c, scoring, end_v)
@@ -368,19 +389,22 @@ def _solve_traced(
         sstar, jstar, kstar = int(sstar), int(jstar), int(kstar)
         score = int(total[sstar, jstar, kstar])
 
-    if freeish:
-        # Free j/k borders admit paths that start at i0 > m on a border face
-        # and never cross the i = m slab by real DP steps.  Those live
-        # entirely in the right half, whose own i=0 face is NOT a border
-        # (it is the interior plane i=m of this problem) -- hence free_jk.
-        h_final, _ = h_fetch()
-        h_val = int(h_final[end_state]) if end_state is not None else int(h_final.max())
-        if h_val > score:
-            r_score, r_cols = _solve(a[m:], b, c, scoring, "free_jk", None, end_state)
-            prefix = [(int(a[i]), -1, -1) for i in range(m)]
-            if route is not None:
-                route[0] = "restart-right"
-            return r_score, prefix + r_cols
+        h_val = None
+        if freeish:
+            h_final, _ = h_fetch()
+            h_val = (int(h_final[end_state]) if end_state is not None
+                     else int(h_final.max()))
+
+    # Free j/k borders admit paths that start at i0 > m on a border face
+    # and never cross the i = m slab by real DP steps.  Those live
+    # entirely in the right half, whose own i=0 face is NOT a border
+    # (it is the interior plane i=m of this problem) -- hence free_jk.
+    if h_val is not None and h_val > score:
+        r_score, r_cols = _solve(a[m:], b, c, scoring, "free_jk", None, end_state)
+        prefix = [(int(a[i]), -1, -1) for i in range(m)]
+        if route is not None:
+            route[0] = "restart-right"
+        return r_score, prefix + r_cols
 
     # The two half problems are independent: solve them CONCURRENTLY so
     # their device dispatches and host<->device round trips overlap (the
